@@ -1,0 +1,85 @@
+"""Cross-process communication facade for single-controller JAX.
+
+The reference (vidgen/utils/comm.py) wraps torch.distributed with NCCL/gloo
+side-groups. Under JAX's single-controller SPMD model most of that vanishes:
+device-level collectives are compiled into jitted functions (psum etc.), and
+this module only exposes *host-process* helpers: rank/world size over
+``jax.process_index``, barriers, and small-object all-gather via
+``multihost_utils``. On a single host every function degrades to a no-op,
+matching the reference's world_size==1 fast paths (comm.py:54-79).
+"""
+
+from typing import Any, List
+
+import jax
+import numpy as np
+
+
+def get_world_size() -> int:
+    return jax.process_count()
+
+
+def get_rank() -> int:
+    return jax.process_index()
+
+
+def get_local_rank() -> int:
+    # one JAX process per host: local rank is always 0
+    return 0
+
+
+def get_local_size() -> int:
+    return 1
+
+
+def is_main_process() -> bool:
+    return get_rank() == 0
+
+
+def synchronize() -> None:
+    """Barrier across host processes (reference comm.py:122-136)."""
+    if get_world_size() == 1:
+        return
+    from jax.experimental import multihost_utils
+
+    multihost_utils.sync_global_devices("lvt_tpu_barrier")
+
+
+def all_gather(data: Any) -> List[Any]:
+    """Gather a picklable object from every host process.
+
+    Reference comm.py:139-177 uses a gloo side-group; here we broadcast via
+    multihost_utils when multi-process, else return [data].
+    """
+    if get_world_size() == 1:
+        return [data]
+    from jax.experimental import multihost_utils
+
+    return list(multihost_utils.process_allgather(data, tiled=False))
+
+
+def gather(data: Any, dst: int = 0) -> List[Any]:
+    """Gather objects to one rank (others get [])."""
+    if get_world_size() == 1:
+        return [data]
+    out = all_gather(data)
+    return out if get_rank() == dst else []
+
+
+def shared_random_seed() -> int:
+    """A random seed shared across all host processes (reference comm.py:220)."""
+    seed = np.random.randint(2 ** 31)
+    return int(all_gather(seed)[0])
+
+
+def reduce_dict(input_dict, average=True):
+    """Reduce dict values (scalars/arrays) across processes (reference comm.py:234)."""
+    world_size = get_world_size()
+    if world_size < 2:
+        return input_dict
+    names = sorted(input_dict.keys())
+    values = np.stack([np.asarray(input_dict[k], dtype=np.float64) for k in names])
+    gathered = np.stack(all_gather(values)).sum(axis=0)
+    if average:
+        gathered = gathered / world_size
+    return {k: v for k, v in zip(names, gathered)}
