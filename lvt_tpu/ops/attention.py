@@ -1,0 +1,264 @@
+"""Block-local multi-head attention with decomposed relative position bias.
+
+TPU-native rebuild of the reference attention stack
+(vidgen/modeling/autoregressive/vt_attention.py:52-202):
+
+* the (T, H, W) grid is partitioned into contiguous ``block_size`` tiles and
+  full attention runs inside each tile — static shapes, so every block maps
+  onto one MXU-friendly batched matmul;
+* per-head additive bias B = Bt + Bh + Bw gathered from learned delta banks
+  (vt_attention.py:142-174);
+* causal masking (when ``masked``) fills with -1e4 *after* adding B, exactly
+  like the reference's masked_fill (vt_attention.py:73);
+* pre-LN heads, concat-proj residual, then a LN-Linear-ReLU-Linear FFN with
+  its own residual (vt_attention.py:114-129, 138).
+
+Layout is channels-last (b, T, H, W, d) throughout. A Pallas kernel fuses
+QK^T + bias + mask + softmax + PV per block so the (thw, thw) attention
+matrix never leaves VMEM; the XLA path is the CPU/test reference.
+"""
+
+from functools import lru_cache
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+# --------------------------------------------------------------------------
+# Static geometry helpers
+# --------------------------------------------------------------------------
+
+@lru_cache(maxsize=64)
+def _delta_indices(block_size: Tuple[int, int, int]):
+    """Flattened per-axis delta index arrays (thw*thw,) used to gather the
+    relative-bias banks; values in [0, 2*axis-2]."""
+    t, h, w = block_size
+    tt = np.arange(t).repeat(h * w)
+    hh = np.tile(np.arange(h).repeat(w), t)
+    ww = np.tile(np.arange(w), t * h)
+    dt = tt[:, None] - tt[None, :] + (t - 1)
+    dh = hh[:, None] - hh[None, :] + (h - 1)
+    dw = ww[:, None] - ww[None, :] + (w - 1)
+    return dt.astype(np.int32), dh.astype(np.int32), dw.astype(np.int32)
+
+
+@lru_cache(maxsize=64)
+def causal_mask(n: int) -> np.ndarray:
+    """(n, n) bool, True above the diagonal = masked (reference triu mask,
+    vt_attention.py:162-167)."""
+    return np.triu(np.ones((n, n), dtype=bool), k=1)
+
+
+def relative_bias(dt_bank, dh_bank, dw_bank, block_size) -> jnp.ndarray:
+    """Banks (na, 2s-1) -> bias (na, thw, thw) (reference get_B,
+    vt_attention.py:169-174)."""
+    t, h, w = block_size
+    thw = t * h * w
+    dt, dh, dw = _delta_indices(tuple(block_size))
+    Bt = jnp.take(dt_bank, jnp.asarray(dt.reshape(-1)), axis=1)
+    Bh = jnp.take(dh_bank, jnp.asarray(dh.reshape(-1)), axis=1)
+    Bw = jnp.take(dw_bank, jnp.asarray(dw.reshape(-1)), axis=1)
+    return (Bt + Bh + Bw).reshape(-1, thw, thw)
+
+
+def split_blocks(x: jnp.ndarray, block_size) -> Tuple[jnp.ndarray, Tuple]:
+    """(b, T, H, W, d) -> (b * nb, thw, d) with contiguous tiles.
+
+    Matches the reference's split/stack partition (vt_attention.py:190-194):
+    block index runs (bt, bh, bw) row-major per batch element.
+    """
+    b, T, H, W, d = x.shape
+    t, h, w = block_size
+    nbt, nbh, nbw = T // t, H // h, W // w
+    x = x.reshape(b, nbt, t, nbh, h, nbw, w, d)
+    x = x.transpose(0, 1, 3, 5, 2, 4, 6, 7)  # b, nbt, nbh, nbw, t, h, w, d
+    return x.reshape(b * nbt * nbh * nbw, t * h * w, d), (b, nbt, nbh, nbw, t, h, w, d)
+
+
+def merge_blocks(x: jnp.ndarray, geom) -> jnp.ndarray:
+    b, nbt, nbh, nbw, t, h, w, d = geom
+    x = x.reshape(b, nbt, nbh, nbw, t, h, w, d)
+    x = x.transpose(0, 1, 4, 2, 5, 3, 6, 7)
+    return x.reshape(b, nbt * t, nbh * h, nbw * w, d)
+
+
+# --------------------------------------------------------------------------
+# Attention core: softmax(q k^T / sqrt(da) + B [+ mask]) v
+# --------------------------------------------------------------------------
+
+def attention_core_xla(q, k, v, bias, mask: Optional[np.ndarray]) -> jnp.ndarray:
+    """q, k, v: (nb, na, n, da); bias: (na, n, n); mask: (n, n) bool or None."""
+    da = q.shape[-1]
+    attn = jnp.einsum("bani,bami->banm", q.astype(jnp.float32), k.astype(jnp.float32)) / np.sqrt(da)
+    attn = attn + bias[None].astype(jnp.float32)
+    if mask is not None:
+        attn = jnp.where(jnp.asarray(mask)[None, None], jnp.float32(-1e4), attn)
+    attn = jax.nn.softmax(attn, axis=-1)
+    out = jnp.einsum("banm,bamd->band", attn, v.astype(jnp.float32))
+    return out.astype(q.dtype)
+
+
+def attention_core_pallas(q, k, v, bias, mask: Optional[np.ndarray], *, interpret=False) -> jnp.ndarray:
+    """Fused per-block attention. Grid over blocks; the (na, n, n) attention
+    matrix lives only in VMEM. n is thw (<= 1024 for all shipped configs), so
+    one block's working set is tiny relative to the ~16 MB VMEM budget."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    nb, na, n, da = q.shape
+    scale = 1.0 / float(np.sqrt(da))
+    mask_arr = None if mask is None else jnp.asarray(mask[None], jnp.bool_)  # (1, n, n)
+
+    def kernel(*refs):
+        if mask_arr is not None:
+            q_ref, k_ref, v_ref, b_ref, m_ref, o_ref = refs
+        else:
+            q_ref, k_ref, v_ref, b_ref, o_ref = refs
+        for a in range(na):  # static unroll over heads
+            qa = q_ref[0, a].astype(jnp.float32)  # (n, da)
+            ka = k_ref[0, a].astype(jnp.float32)
+            va = v_ref[0, a].astype(jnp.float32)
+            attn = jax.lax.dot_general(
+                qa, ka, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * scale
+            attn = attn + b_ref[a].astype(jnp.float32)
+            if mask_arr is not None:
+                attn = jnp.where(m_ref[0], jnp.float32(-1e4), attn)
+            attn = jax.nn.softmax(attn, axis=-1)
+            o_ref[0, a] = jnp.dot(
+                attn, va, preferred_element_type=jnp.float32
+            ).astype(o_ref.dtype)
+
+    in_specs = [
+        pl.BlockSpec((1, na, n, da), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, na, n, da), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, na, n, da), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((na, n, n), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+    ]
+    args = [q, k, v, bias]
+    if mask_arr is not None:
+        in_specs.append(pl.BlockSpec((1, n, n), lambda i: (0, 0, 0), memory_space=pltpu.VMEM))
+        args.append(mask_arr)
+
+    return pl.pallas_call(
+        kernel,
+        grid=(nb,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, na, n, da), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((nb, na, n, da), q.dtype),
+        interpret=interpret,
+    )(*args)
+
+
+def attention_core(q, k, v, bias, mask, *, use_pallas: Optional[bool] = None):
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    if use_pallas:
+        return attention_core_pallas(q, k, v, bias, mask)
+    return attention_core_xla(q, k, v, bias, mask)
+
+
+# --------------------------------------------------------------------------
+# Full layer
+# --------------------------------------------------------------------------
+
+class BlockAttnParams(NamedTuple):
+    """One BlockLocalAttention layer's parameters (see reference
+    vt_attention.py:84-145 for shapes)."""
+
+    ln_scale: jnp.ndarray  # (d,)
+    ln_bias: jnp.ndarray  # (d,)
+    wq: jnp.ndarray  # (na, d, da)
+    wk: jnp.ndarray  # (na, d, da)
+    wv: jnp.ndarray  # (na, d, da)
+    proj: jnp.ndarray  # (na * da, d)   y = x @ proj (no bias)
+    ffn_ln_scale: jnp.ndarray  # (d,)
+    ffn_ln_bias: jnp.ndarray  # (d,)
+    ffn_w1: jnp.ndarray  # (d, d)
+    ffn_b1: jnp.ndarray  # (d,)
+    ffn_w2: jnp.ndarray  # (d, d)
+    ffn_b2: jnp.ndarray  # (d,)
+    dt_bank: jnp.ndarray  # (na, 2t - 1)
+    dh_bank: jnp.ndarray  # (na, 2h - 1)
+    dw_bank: jnp.ndarray  # (na, 2w - 1)
+
+
+def init_block_attn(key, block_size, na: int, d: int, da: int) -> BlockAttnParams:
+    """Xavier-normal for head weights (reference init_weights,
+    vt_attention.py:108-112); zero bias banks; xavier-uniform FFN (overridden
+    by the model-level init there too)."""
+    t, h, w = block_size
+    ks = jax.random.split(key, 6)
+
+    def xavier_normal(k, shape, fan_in, fan_out):
+        std = float(np.sqrt(2.0 / (fan_in + fan_out)))
+        return jax.random.normal(k, shape, jnp.float32) * std
+
+    def xavier_uniform(k, shape, fan_in, fan_out):
+        lim = float(np.sqrt(6.0 / (fan_in + fan_out)))
+        return jax.random.uniform(k, shape, jnp.float32, -lim, lim)
+
+    return BlockAttnParams(
+        ln_scale=jnp.ones((d,)),
+        ln_bias=jnp.zeros((d,)),
+        # torch xavier_normal_ on (na, d, da) treats dims (d, da) with
+        # receptive field na... parity of init statistics is not load-bearing;
+        # checkpoint conversion overrides all values.
+        wq=xavier_normal(ks[0], (na, d, da), d, da),
+        wk=xavier_normal(ks[1], (na, d, da), d, da),
+        wv=xavier_normal(ks[2], (na, d, da), d, da),
+        proj=xavier_normal(ks[3], (na * da, d), na * da, d),
+        ffn_ln_scale=jnp.ones((d,)),
+        ffn_ln_bias=jnp.zeros((d,)),
+        ffn_w1=xavier_uniform(ks[4], (d, d), d, d),
+        ffn_b1=jnp.zeros((d,)),
+        ffn_w2=xavier_uniform(ks[5], (d, d), d, d),
+        ffn_b2=jnp.zeros((d,)),
+        dt_bank=jnp.zeros((na, 2 * t - 1)),
+        dh_bank=jnp.zeros((na, 2 * h - 1)),
+        dw_bank=jnp.zeros((na, 2 * w - 1)),
+    )
+
+
+def _layer_norm(x, scale, bias, eps=1e-5):
+    mean = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.var(x, axis=-1, keepdims=True)
+    return (x - mean) * jax.lax.rsqrt(var + eps) * scale + bias
+
+
+def mha_tokens(x: jnp.ndarray, p: BlockAttnParams, bias: jnp.ndarray,
+               mask: Optional[np.ndarray], *, use_pallas=None) -> jnp.ndarray:
+    """Multi-head attention over token sequences x: (nb, n, d)."""
+    nb, n, d = x.shape
+    na, _, da = p.wq.shape
+    residual = x
+    y = _layer_norm(x, p.ln_scale, p.ln_bias)
+    q = jnp.einsum("bnd,adk->bank", y, p.wq)
+    k = jnp.einsum("bnd,adk->bank", y, p.wk)
+    v = jnp.einsum("bnd,adk->bank", y, p.wv)
+    out = attention_core(q, k, v, bias, mask, use_pallas=use_pallas)  # (nb, na, n, da)
+    out = out.transpose(0, 2, 1, 3).reshape(nb, n, na * da)
+    out = out @ p.proj
+    return out + residual
+
+
+def ffn_tokens(x: jnp.ndarray, p: BlockAttnParams) -> jnp.ndarray:
+    y = _layer_norm(x, p.ffn_ln_scale, p.ffn_ln_bias)
+    y = jax.nn.relu(y @ p.ffn_w1 + p.ffn_b1)
+    y = y @ p.ffn_w2 + p.ffn_b2
+    return y + x
+
+
+def block_local_attention(x: jnp.ndarray, p: BlockAttnParams, block_size,
+                          masked: bool, *, use_pallas=None) -> jnp.ndarray:
+    """One full BlockLocalAttention layer on (b, T, H, W, d)."""
+    t, h, w = block_size
+    bias = relative_bias(p.dt_bank, p.dh_bank, p.dw_bank, tuple(block_size))
+    mask = causal_mask(t * h * w) if masked else None
+    tokens, geom = split_blocks(x, block_size)
+    tokens = mha_tokens(tokens, p, bias, mask, use_pallas=use_pallas)
+    tokens = ffn_tokens(tokens, p)
+    return merge_blocks(tokens, geom)

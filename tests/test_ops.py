@@ -1,0 +1,255 @@
+"""Op-level parity tests: convs vs torch, gather-conv vs dense one-hot conv,
+causal conv causality, positional encoding vs the reference arithmetic,
+block-local attention vs a torch oracle, Pallas kernels vs XLA."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+import torch.nn.functional as F
+
+from lvt_tpu.ops import attention as attn
+from lvt_tpu.ops import conv as lconv
+from lvt_tpu.ops import posenc
+
+
+# --------------------------------------------------------------------------
+# 2D convs vs torch
+# --------------------------------------------------------------------------
+
+def test_conv2d_matches_torch(rng):
+    x = rng.standard_normal((2, 3, 16, 16)).astype(np.float32)  # NCHW for torch
+    w = rng.standard_normal((8, 3, 4, 4)).astype(np.float32)  # OIHW
+    b = rng.standard_normal((8,)).astype(np.float32)
+    ref = F.conv2d(torch.from_numpy(x), torch.from_numpy(w), torch.from_numpy(b),
+                   stride=2, padding=1).numpy()
+    got = lconv.conv2d(
+        jnp.asarray(x.transpose(0, 2, 3, 1)),
+        jnp.asarray(w.transpose(2, 3, 1, 0)),  # OIHW -> HWIO
+        jnp.asarray(b), stride=2, padding=1,
+    )
+    np.testing.assert_allclose(np.asarray(got).transpose(0, 3, 1, 2), ref, atol=1e-4)
+
+
+def test_conv_transpose2d_matches_torch(rng):
+    x = rng.standard_normal((2, 8, 8, 8)).astype(np.float32)
+    w = rng.standard_normal((8, 5, 4, 4)).astype(np.float32)  # torch: (in, out, kh, kw)
+    b = rng.standard_normal((5,)).astype(np.float32)
+    ref = F.conv_transpose2d(torch.from_numpy(x), torch.from_numpy(w), torch.from_numpy(b),
+                             stride=2, padding=1).numpy()
+    got = lconv.conv_transpose2d(
+        jnp.asarray(x.transpose(0, 2, 3, 1)),
+        jnp.asarray(w.transpose(2, 3, 1, 0)),  # (in,out,kh,kw) -> (kh,kw,out,in)
+        jnp.asarray(b), stride=2, padding=1,
+    )
+    assert got.shape == (2, 16, 16, 5)
+    np.testing.assert_allclose(np.asarray(got).transpose(0, 3, 1, 2), ref, atol=1e-4)
+
+
+# --------------------------------------------------------------------------
+# Causal 3D conv
+# --------------------------------------------------------------------------
+
+def _torch_masked_conv3d(x, w, b, kernel):
+    """Oracle reproducing the reference MaskedConv3d data path
+    (vt_utils.py:183-200): pad (front/top/centered), zero future taps."""
+    kt, kh, kw = kernel
+    wm = w.clone()
+    wm[:, :, -1, -1, kw // 2 :] = 0
+    xp = F.pad(x, [kw // 2, kw // 2, kh - 1, 0, kt - 1, 0])
+    return F.conv3d(xp, wm, b)
+
+
+def test_masked_conv3d_matches_torch(rng):
+    kt, kh, kw = 3, 3, 3
+    x = rng.standard_normal((2, 6, 1, 4, 5)).astype(np.float32)  # N C T H W
+    w = rng.standard_normal((7, 6, kt, kh, kw)).astype(np.float32)
+    b = rng.standard_normal((7,)).astype(np.float32)
+    ref = _torch_masked_conv3d(torch.from_numpy(x), torch.from_numpy(w),
+                               torch.from_numpy(b), (kt, kh, kw)).numpy()
+    got = lconv.masked_conv3d(
+        jnp.asarray(x.transpose(0, 2, 3, 4, 1)),  # NCTHW -> NTHWC
+        jnp.asarray(w.transpose(2, 3, 4, 1, 0)),  # OIDHW -> DHWIO
+        jnp.asarray(b),
+    )
+    assert got.shape == (2, 1, 4, 5, 7)
+    np.testing.assert_allclose(np.asarray(got).transpose(0, 4, 1, 2, 3), ref, atol=1e-4)
+
+
+def test_masked_conv3d_is_raster_causal(rng):
+    """Changing input at raster position p must not affect outputs < p, and
+    must not affect the output at p itself (strictly-past receptive field)."""
+    t, h, w, c = 2, 4, 4, 3
+    x = rng.standard_normal((1, t, h, w, c)).astype(np.float32)
+    wgt = rng.standard_normal((3, 3, 3, c, 5)).astype(np.float32)
+    y0 = np.asarray(lconv.masked_conv3d(jnp.asarray(x), jnp.asarray(wgt)))
+
+    flat = lambda a: a.reshape(1, t * h * w, -1)
+    for p in [0, 5, 17, t * h * w - 1]:
+        x2 = x.copy().reshape(1, t * h * w, c)
+        x2[0, p] += 100.0
+        y2 = np.asarray(lconv.masked_conv3d(jnp.asarray(x2.reshape(1, t, h, w, c)), jnp.asarray(wgt)))
+        np.testing.assert_array_equal(flat(y2)[0, : p + 1], flat(y0)[0, : p + 1])
+
+
+# --------------------------------------------------------------------------
+# Gather-based one-hot conv
+# --------------------------------------------------------------------------
+
+@pytest.mark.parametrize("stride,kernel", [((16, 1, 1), (7, 1, 1)), ((4, 2, 2), (5, 3, 3))])
+def test_subscale_context_encode_equals_dense_onehot_conv(rng, stride, kernel):
+    nc, nv, de = 2, 8, 16
+    st, sh, sw = stride
+    kt, kh, kw = kernel
+    T, H, W = 16, 8, 8
+    t, h, w = T // st, H // sh, W // sw
+    Tp, Hp, Wp = kt + (t - 1) * st, kh + (h - 1) * sh, kw + (w - 1) * sw
+
+    ctx = rng.integers(-1, nv, size=(2, nc, Tp, Hp, Wp)).astype(np.int32)
+    table = rng.standard_normal((nc, kt, kh, kw, nv, de)).astype(np.float32)
+    bias = rng.standard_normal((de,)).astype(np.float32)
+
+    got = lconv.subscale_context_encode(jnp.asarray(ctx), jnp.asarray(table),
+                                        jnp.asarray(bias), stride, nv)
+
+    # dense formulation: one-hot (pad rows all-zero) then VALID strided conv
+    oh = np.zeros((2, Tp, Hp, Wp, nc * nv), np.float32)
+    for b in range(2):
+        for c in range(nc):
+            for i in range(Tp):
+                for j in range(Hp):
+                    for k in range(Wp):
+                        v = ctx[b, c, i, j, k]
+                        if v >= 0:
+                            oh[b, i, j, k, c * nv + v] = 1.0
+    wdense = np.asarray(lconv.onehot_table_to_conv_weight(jnp.asarray(table)))
+    ref = jax.lax.conv_general_dilated(
+        jnp.asarray(oh), jnp.asarray(wdense), window_strides=stride,
+        padding=[(0, 0)] * 3, dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+    ) + bias
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-4)
+
+
+# --------------------------------------------------------------------------
+# Positional encoding vs reference arithmetic
+# --------------------------------------------------------------------------
+
+def test_posenc_matches_reference_arithmetic():
+    """Oracle re-derives vt_attention.py:25-49: per-axis sin/cos bands padded
+    into the channel dim, accumulated in-place."""
+    t, h, w, d = 2, 3, 4, 32
+    x = np.zeros((1, t, h, w, d), np.float32)
+    got = np.asarray(posenc.add_positional_encoding(jnp.asarray(x)))
+
+    nts = d // 6
+    inv = 1.0 * np.exp(np.arange(nts) * -(np.log(1e4) / nts))
+    want = np.zeros((t, h, w, d), np.float32)
+    for dim, length in enumerate((t, h, w)):
+        pos = np.arange(length, dtype=np.float32)
+        scaled = pos[:, None] * inv[None, :]
+        sig = np.concatenate([np.sin(scaled), np.cos(scaled)], 1)  # (len, 2nts)
+        pre = dim * 2 * nts
+        band = np.zeros((length, d), np.float32)
+        band[:, pre : pre + 2 * nts] = sig
+        shape = [1, 1, 1, d]
+        shape[dim] = length
+        want += band.reshape(shape)
+    np.testing.assert_allclose(got[0], want, atol=1e-5)
+
+
+# --------------------------------------------------------------------------
+# Block-local attention vs torch oracle
+# --------------------------------------------------------------------------
+
+def _torch_block_attention(x, p: attn.BlockAttnParams, block_size, masked):
+    """Oracle built from the reference equations (vt_attention.py:52-202)
+    with torch ops, consuming our parameter layout."""
+    xt = torch.from_numpy(np.asarray(x, np.float32))  # (b, T, H, W, d)
+    b, T, H, W, d = xt.shape
+    t, h, w = block_size
+    na = np.asarray(p.wq).shape[0]
+    da = np.asarray(p.wq).shape[2]
+    thw = t * h * w
+
+    # partition into contiguous blocks
+    xt = xt.reshape(b, T // t, t, H // h, h, W // w, w, d)
+    xt = xt.permute(0, 1, 3, 5, 2, 4, 6, 7).reshape(-1, thw, d)
+
+    ln = lambda v, s, bb: F.layer_norm(v, (d,), torch.from_numpy(np.asarray(s)), torch.from_numpy(np.asarray(bb)))
+    y = ln(xt, p.ln_scale, p.ln_bias)
+    wq, wk, wv = (torch.from_numpy(np.asarray(a)) for a in (p.wq, p.wk, p.wv))
+    q = torch.einsum("bnd,adk->abnk", y, wq)
+    k = torch.einsum("bnd,adk->abnk", y, wk)
+    v = torch.einsum("bnd,adk->abnk", y, wv)
+    scores = q @ k.transpose(2, 3) / np.sqrt(da)
+
+    B = np.asarray(attn.relative_bias(p.dt_bank, p.dh_bank, p.dw_bank, tuple(block_size)))
+    scores = scores + torch.from_numpy(B)[:, None]
+    if masked:
+        m = torch.from_numpy(attn.causal_mask(thw).copy())
+        scores = scores.masked_fill(m, -1e4)
+    a_ = torch.softmax(scores, dim=-1)
+    out = (a_ @ v).permute(1, 2, 0, 3).reshape(-1, thw, na * da)
+    out = out @ torch.from_numpy(np.asarray(p.proj))
+    xt = out + xt
+    y = ln(xt, p.ffn_ln_scale, p.ffn_ln_bias)
+    y = torch.relu(y @ torch.from_numpy(np.asarray(p.ffn_w1)) + torch.from_numpy(np.asarray(p.ffn_b1)))
+    y = y @ torch.from_numpy(np.asarray(p.ffn_w2)) + torch.from_numpy(np.asarray(p.ffn_b2))
+    xt = y + xt
+
+    xt = xt.reshape(b, T // t, H // h, W // w, t, h, w, d)
+    xt = xt.permute(0, 1, 4, 2, 5, 3, 6, 7).reshape(b, T, H, W, d)
+    return xt.numpy()
+
+
+@pytest.mark.parametrize("block,THW,masked", [
+    ((1, 4, 4), (1, 4, 4), True),    # full-slice block (DSFVT-like)
+    ((2, 2, 2), (4, 4, 4), False),   # multi-block (DSSVT-like)
+    ((2, 2, 2), (4, 4, 4), True),
+])
+def test_block_local_attention_matches_torch_oracle(rng, block, THW, masked):
+    d, na, da = 16, 2, 8
+    key = jax.random.key(0)
+    p = attn.init_block_attn(key, block, na, d, da)
+    # randomize banks so the bias path is exercised
+    t, h, w = block
+    p = p._replace(
+        dt_bank=jnp.asarray(rng.standard_normal((na, 2 * t - 1)).astype(np.float32)),
+        dh_bank=jnp.asarray(rng.standard_normal((na, 2 * h - 1)).astype(np.float32)),
+        dw_bank=jnp.asarray(rng.standard_normal((na, 2 * w - 1)).astype(np.float32)),
+    )
+    x = rng.standard_normal((2, *THW, d)).astype(np.float32)
+    got = np.asarray(attn.block_local_attention(jnp.asarray(x), p, block, masked, use_pallas=False))
+    want = _torch_block_attention(x, p, block, masked)
+    np.testing.assert_allclose(got, want, atol=2e-4)
+
+
+def test_attention_core_pallas_matches_xla(rng):
+    nb, na, n, da = 4, 2, 16, 8
+    q, k, v = (rng.standard_normal((nb, na, n, da)).astype(np.float32) for _ in range(3))
+    bias = rng.standard_normal((na, n, n)).astype(np.float32)
+    mask = attn.causal_mask(n)
+    ref = np.asarray(attn.attention_core_xla(*map(jnp.asarray, (q, k, v, bias)), mask))
+    got = np.asarray(attn.attention_core_pallas(*map(jnp.asarray, (q, k, v, bias)), mask, interpret=True))
+    np.testing.assert_allclose(got, ref, atol=1e-5)
+    # unmasked path
+    ref = np.asarray(attn.attention_core_xla(*map(jnp.asarray, (q, k, v, bias)), None))
+    got = np.asarray(attn.attention_core_pallas(*map(jnp.asarray, (q, k, v, bias)), None, interpret=True))
+    np.testing.assert_allclose(got, ref, atol=1e-5)
+
+
+def test_masked_attention_is_causal(rng):
+    """Token i's output must not depend on tokens > i under the causal mask."""
+    block = (1, 4, 4)
+    d, na, da = 8, 2, 4
+    p = attn.init_block_attn(jax.random.key(1), block, na, d, da)
+    x = rng.standard_normal((1, 1, 4, 4, d)).astype(np.float32)
+    y0 = np.asarray(attn.block_local_attention(jnp.asarray(x), p, block, True, use_pallas=False))
+    xf = x.reshape(1, 16, d).copy()
+    xf[0, 10] += 50.0
+    y1 = np.asarray(attn.block_local_attention(
+        jnp.asarray(xf.reshape(1, 1, 4, 4, d)), p, block, True, use_pallas=False))
+    np.testing.assert_allclose(
+        y1.reshape(1, 16, d)[0, :10], y0.reshape(1, 16, d)[0, :10], atol=1e-5)
+    assert not np.allclose(y1.reshape(1, 16, d)[0, 10], y0.reshape(1, 16, d)[0, 10])

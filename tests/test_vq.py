@@ -1,0 +1,183 @@
+"""VQ quantizer tests: bit-match against an independent numpy/torch oracle,
+straight-through gradients, EMA update order, cross-replica psum stats,
+and Pallas-kernel equivalence (interpret mode on CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lvt_tpu.ops import vq
+
+
+def _numpy_nearest(z, cb):
+    d = (z[:, None, :] - cb[None, :, :]) ** 2
+    return d.sum(-1).argmin(1)
+
+
+def _assert_match_except_near_ties(got, ref, z, cb, rel_tol=1e-3):
+    """Indices must agree everywhere except genuine near-ties, where fp32
+    accumulation order legitimately differs between backends."""
+    mism = np.nonzero(got != ref)[0]
+    for i in mism:
+        d_got = ((z[i] - cb[got[i]]) ** 2).sum(dtype=np.float64)
+        d_ref = ((z[i] - cb[ref[i]]) ** 2).sum(dtype=np.float64)
+        gap = abs(d_got - d_ref) / max(d_got, d_ref)
+        assert gap < rel_tol, f"row {i}: non-tie index mismatch (gap={gap})"
+    # and near-ties must be rare
+    assert len(mism) <= max(2, len(got) // 100)
+
+
+def test_nearest_indices_matches_bruteforce(rng):
+    z = rng.standard_normal((257, 64)).astype(np.float32)
+    cb = rng.standard_normal((512, 64)).astype(np.float32)
+    got = np.asarray(vq.nearest_indices_xla(jnp.asarray(z), jnp.asarray(cb)))
+    _assert_match_except_near_ties(got, _numpy_nearest(z, cb), z, cb)
+
+
+def test_nearest_indices_matches_torch_addmm_formula(rng):
+    """The reference computes distances via addmm expansion
+    (vq_utils.py:13-20); check index agreement with torch's exact pipeline."""
+    torch = pytest.importorskip("torch")
+    z = rng.standard_normal((300, 64)).astype(np.float32)
+    cb = rng.standard_normal((512, 64)).astype(np.float32)
+    zt, ct = torch.from_numpy(z), torch.from_numpy(cb)
+    dist = torch.addmm(
+        torch.sum(ct ** 2, dim=1) + torch.sum(zt ** 2, dim=1, keepdim=True),
+        zt, ct.t(), alpha=-2.0, beta=1.0,
+    )
+    ref = dist.min(1)[1].numpy()
+    got = np.asarray(vq.nearest_indices_xla(jnp.asarray(z), jnp.asarray(cb)))
+    _assert_match_except_near_ties(got, ref, z, cb)
+
+
+def test_nearest_indices_tie_breaks_low(rng):
+    cb = np.stack([np.ones(8), np.ones(8)]).astype(np.float32)  # identical rows
+    z = rng.standard_normal((16, 8)).astype(np.float32)
+    got = np.asarray(vq.nearest_indices_xla(jnp.asarray(z), jnp.asarray(cb)))
+    assert (got == 0).all()
+
+
+def test_pallas_kernel_matches_xla(rng):
+    z = rng.standard_normal((512, 64)).astype(np.float32)
+    cb = rng.standard_normal((512, 64)).astype(np.float32)
+    ref = np.asarray(vq.nearest_indices_xla(jnp.asarray(z), jnp.asarray(cb)))
+    got = np.asarray(vq.nearest_indices_pallas(jnp.asarray(z), jnp.asarray(cb), interpret=True))
+    np.testing.assert_array_equal(got, ref)
+
+
+def _mk_state(rng, num=4, K=16, D=64):
+    emb = rng.standard_normal((num, K, D // num)).astype(np.float32)
+    return vq.EmaCodebookState(
+        embedding=jnp.asarray(emb),
+        running_size=jnp.zeros((num, K)),
+        running_sum=jnp.asarray(emb.copy()),
+    )
+
+
+def test_straight_through_identity_grad(rng):
+    state = _mk_state(rng)
+    z = jnp.asarray(rng.standard_normal((6, 64)).astype(np.float32))
+
+    def f(z):
+        st, _, _, _ = vq.quantize_st(z, state, ema=True, train=False, use_pallas=False)
+        return jnp.sum(st * jnp.arange(64.0))
+
+    g = jax.grad(f)(z)
+    # d(sum(st * w))/dz == w broadcast: straight-through copies gradients
+    np.testing.assert_allclose(np.asarray(g), np.broadcast_to(np.arange(64.0), (6, 64)), rtol=1e-6)
+
+
+def test_codebook_grad_is_scatter_add(rng):
+    """Gradient w.r.t. codebook through z_q equals index_add of upstream grads
+    (reference vq_utils.py:55-63)."""
+    num, K, Dc = 1, 8, 4
+    emb = rng.standard_normal((num, K, Dc)).astype(np.float32)
+    state = vq.EmaCodebookState(jnp.asarray(emb), jnp.zeros((num, K)), jnp.asarray(emb))
+    z = jnp.asarray(rng.standard_normal((10, 4)).astype(np.float32))
+
+    def f(embedding):
+        s = state._replace(embedding=embedding)
+        _, zq, _, _ = vq.quantize_st(z, s, ema=False, train=True, use_pallas=False)
+        return jnp.sum(zq * 2.0)
+
+    g = np.asarray(jax.grad(f)(state.embedding))[0]
+    idx = np.asarray(vq.encode_indices(z, state, use_pallas=False))[:, 0]
+    expect = np.zeros((K, Dc), np.float32)
+    np.testing.assert_array_equal(np.unique(idx), np.unique(idx))
+    for i in idx:
+        expect[i] += 2.0
+    np.testing.assert_allclose(g, expect, rtol=1e-6)
+
+
+def test_ema_update_semantics(rng):
+    """One EMA step must match the reference arithmetic
+    (vq_embedding.py:40-59), including post-update lookup for z_q."""
+    num, K, Dc = 1, 8, 4
+    decay, eps = 0.99, 1e-5
+    emb = rng.standard_normal((num, K, Dc)).astype(np.float32)
+    rs = np.abs(rng.standard_normal((num, K))).astype(np.float32)
+    rsum = rng.standard_normal((num, K, Dc)).astype(np.float32)
+    state = vq.EmaCodebookState(jnp.asarray(emb), jnp.asarray(rs), jnp.asarray(rsum))
+    z = rng.standard_normal((20, Dc)).astype(np.float32)
+
+    st, zq, indices, new_state = vq.quantize_st(
+        jnp.asarray(z), state, ema=True, train=True, decay=decay, eps=eps, use_pallas=False)
+
+    idx = _numpy_nearest(z, emb[0])
+    np.testing.assert_array_equal(np.asarray(indices)[:, 0], idx)
+
+    size = np.bincount(idx, minlength=K).astype(np.float32)
+    vec_sum = np.zeros((K, Dc), np.float32)
+    for i, zz in zip(idx, z):
+        vec_sum[i] += zz
+    new_rs = rs[0] * decay + (1 - decay) * size
+    new_rsum = rsum[0] * decay + (1 - decay) * vec_sum
+    n = new_rs.sum()
+    denom = (new_rs + eps) / (n + K * eps) * n
+    new_emb = new_rsum / denom[:, None]
+
+    np.testing.assert_allclose(np.asarray(new_state.running_size)[0], new_rs, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(new_state.embedding)[0], new_emb, rtol=1e-4)
+    # straight-through value uses the PRE-update embedding
+    np.testing.assert_allclose(np.asarray(st), emb[0][idx], rtol=1e-6)
+    # differentiable z_q uses the POST-update embedding
+    np.testing.assert_allclose(np.asarray(zq), new_emb[idx], rtol=1e-4)
+
+
+def test_ema_psum_across_devices(rng):
+    """EMA stats psum'd over a data mesh equal single-device stats on the
+    concatenated batch (reference AllReduce semantics, vq_embedding.py:47,54)."""
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import Mesh, PartitionSpec as P
+
+    devs = jax.devices()[:4]
+    mesh = Mesh(np.array(devs), ("data",))
+    state = _mk_state(rng, num=1, K=8, D=8)
+    z = rng.standard_normal((16, 8)).astype(np.float32)
+
+    def step(z_shard, state):
+        _, _, _, new_state = vq.quantize_st(
+            z_shard, state, ema=True, train=True, axis_name="data", use_pallas=False)
+        return new_state
+
+    sharded = shard_map(
+        step, mesh=mesh,
+        in_specs=(P("data"), P()), out_specs=P(),
+    )
+    got = sharded(jnp.asarray(z), state)
+    _, _, _, want = vq.quantize_st(jnp.asarray(z), state, ema=True, train=True, use_pallas=False)
+    np.testing.assert_allclose(np.asarray(got.embedding), np.asarray(want.embedding), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(got.running_size), np.asarray(want.running_size), rtol=1e-5)
+
+
+def test_embed_indices_concat_layout(rng):
+    state = _mk_state(rng, num=4, K=16, D=64)
+    idx = jnp.asarray(rng.integers(0, 16, size=(3, 5, 4)))
+    out = np.asarray(vq.embed_indices(idx, state))
+    assert out.shape == (3, 5, 64)
+    for c in range(4):
+        np.testing.assert_allclose(
+            out[..., c * 16 : (c + 1) * 16],
+            np.asarray(state.embedding)[c][np.asarray(idx)[..., c]],
+        )
