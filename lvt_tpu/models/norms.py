@@ -1,0 +1,99 @@
+"""Normalization layers, functional form (reference: vidgen/layers/batch_norm.py).
+
+The shipped configs all run with ``NORM: ""`` (no norm), but the reference
+exposes a name->norm factory (batch_norm.py:125-145) which we mirror:
+
+  ""        -> identity
+  "BN"      -> batch norm with running stats
+  "SyncBN"  -> batch norm whose batch statistics are psum'd over the data
+               mesh axis — the TPU-native NaiveSyncBatchNorm
+               (batch_norm.py:163-232); no autograd Function needed, the
+               psum differentiates itself
+  "FrozenBN"-> inference-stats batch norm (batch_norm.py:12-122)
+  "IN"      -> instance norm
+  "GN"      -> group norm (32 groups)
+  "StdN"    -> variance-only norm (batch_norm.py:235-251)
+
+State (running mean/var) is threaded explicitly: apply returns (y, new_state).
+Channels-last layouts: x is (..., C).
+"""
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+VALID_NORMS = ("", "BN", "SyncBN", "nnSyncBN", "FrozenBN", "IN", "GN", "StdN", "StdNV2")
+
+
+def init_norm(norm: str, num_features: int):
+    """Returns (params, state) pytrees for a norm layer ('' -> ({}, {}))."""
+    if norm == "":
+        return {}, {}
+    params = {"scale": jnp.ones((num_features,)), "bias": jnp.zeros((num_features,))}
+    if norm in ("BN", "SyncBN", "nnSyncBN", "FrozenBN"):
+        state = {"mean": jnp.zeros((num_features,)), "var": jnp.ones((num_features,))}
+    else:
+        state = {}
+    return params, state
+
+
+def apply_norm(
+    norm: str,
+    params: dict,
+    state: dict,
+    x: jnp.ndarray,
+    train: bool,
+    momentum: float = 0.1,
+    eps: float = 1e-5,
+    axis_name: Optional[str] = None,
+) -> Tuple[jnp.ndarray, dict]:
+    if norm == "":
+        return x, state
+    scale, bias = params["scale"], params["bias"]
+    reduce_axes = tuple(range(x.ndim - 1))  # all but channel
+
+    if norm in ("BN", "SyncBN", "nnSyncBN", "FrozenBN"):
+        if train and norm != "FrozenBN":
+            mean = jnp.mean(x, axis=reduce_axes)
+            meansqr = jnp.mean(x * x, axis=reduce_axes)
+            if norm in ("SyncBN", "nnSyncBN") and axis_name is not None:
+                mean = jax.lax.pmean(mean, axis_name)
+                meansqr = jax.lax.pmean(meansqr, axis_name)
+            var = meansqr - mean * mean
+            new_state = {
+                "mean": (1 - momentum) * state["mean"] + momentum * jax.lax.stop_gradient(mean),
+                "var": (1 - momentum) * state["var"] + momentum * jax.lax.stop_gradient(var),
+            }
+        else:
+            mean, var = state["mean"], state["var"]
+            new_state = state
+        y = (x - mean) * jax.lax.rsqrt(var + eps) * scale + bias
+        return y, new_state
+
+    if norm == "IN":
+        # per-sample spatial stats: reduce over spatial dims only
+        spatial = tuple(range(1, x.ndim - 1))
+        mean = jnp.mean(x, axis=spatial, keepdims=True)
+        var = jnp.var(x, axis=spatial, keepdims=True)
+        return (x - mean) * jax.lax.rsqrt(var + eps) * scale + bias, state
+
+    if norm == "GN":
+        groups = 32
+        c = x.shape[-1]
+        g = min(groups, c)
+        while c % g != 0:
+            g -= 1
+        xs = x.reshape(x.shape[:-1] + (g, c // g))
+        axes = tuple(range(1, x.ndim - 1)) + (x.ndim,)
+        mean = jnp.mean(xs, axis=axes, keepdims=True)
+        var = jnp.var(xs, axis=axes, keepdims=True)
+        y = ((xs - mean) * jax.lax.rsqrt(var + eps)).reshape(x.shape)
+        return y * scale + bias, state
+
+    if norm in ("StdN", "StdNV2"):
+        spatial = tuple(range(1, x.ndim - 1))
+        var = jnp.var(x, axis=spatial, keepdims=True)
+        return x * jax.lax.rsqrt(var + eps) * scale + bias, state
+
+    raise ValueError(f"Unknown norm: {norm}")
