@@ -1,0 +1,454 @@
+"""Subscale Video Transformer, TPU-native
+(reference: vidgen/modeling/autoregressive/videotransformer.py,
+meta_arch/vt.py).
+
+Architecture parity:
+* VTEncoder (videotransformer.py:11-59): context one-hot Conv3d rebuilt as a
+  fused embedding gather (ops.conv.subscale_context_encode), + slice-index
+  embedding, optional class embedding concat, 1x1x1 projector, stack of
+  unmasked BlockLocalAttention. (The reference creates but never calls a
+  positional encoder here — we match the *behavior*: no posenc.)
+* VTDecoder (:62-101): summed per-channel embeddings, causal MaskedConv3d,
+  3-D sinusoidal posenc, projected context add, masked BlockLocalAttention.
+* ChannelPredictor (:104-187): within-pixel autoregression over the nc
+  codebook channels with U_k MLPs and shared / per-channel / embedding-tied
+  output heads.
+
+Whole-video passes (teacher-forced logits, sampling) are lax.scan's over the
+precomputed SubscalePlan gather maps — no data-dependent shapes, one compile.
+
+Layouts: codes (b, nc, T, H, W) int32 at the API boundary (matches reference
+latent .npy), activations channels-last (b, t, h, w, d) on device.
+"""
+
+from typing import Any, Dict, List, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import subscale as ss
+from ..ops.attention import BlockAttnParams, block_local_attention, init_block_attn
+from ..ops.conv import masked_conv3d, subscale_context_encode
+from ..ops.posenc import add_positional_encoding
+from ..utils.registry import Registry
+
+AUTOREGRESSIVE_REGISTRY = Registry("AUTOREGRESSIVE")
+
+
+class VTConfig(NamedTuple):
+    nc: int
+    nv: int
+    kernel: Tuple[int, int, int]
+    stride: Tuple[int, int, int]
+    d: int
+    da: int
+    de: int
+    blocks_e: Tuple[Tuple[int, int, int], ...]
+    n_head_e: Tuple[int, ...]
+    blocks_d: Tuple[Tuple[int, int, int], ...]
+    n_head_d: Tuple[int, ...]
+    n_prime: int
+    pad_value: int
+    share_p: bool
+    share_embeddings: bool
+    class_num: int
+
+    @staticmethod
+    def from_cfg(cfg) -> "VTConfig":
+        v = cfg.MODEL.AUTOREGRESSIVE.VT
+        return VTConfig(
+            nc=v.NC, nv=v.NV, kernel=tuple(v.KERNEL), stride=tuple(v.STRIDE),
+            d=v.D, da=v.DA, de=v.DE,
+            blocks_e=tuple(tuple(b) for b in v.BLOCKS_E), n_head_e=tuple(v.N_HEAD_E),
+            blocks_d=tuple(tuple(b) for b in v.BLOCKS_D), n_head_d=tuple(v.N_HEAD_D),
+            n_prime=v.N_PRIME, pad_value=v.PAD_VALUE,
+            share_p=v.SHARE_P, share_embeddings=v.SHARE_EMBEDDINGS,
+            class_num=v.CLASS_NUM,
+        )
+
+
+def _xavier_uniform(key, shape, fan_in, fan_out):
+    lim = float(np.sqrt(6.0 / (fan_in + fan_out)))
+    return jax.random.uniform(key, shape, jnp.float32, -lim, lim)
+
+
+# --------------------------------------------------------------------------
+# Parameter init
+# --------------------------------------------------------------------------
+
+def init_vt_params(key, c: VTConfig) -> Dict[str, Any]:
+    st, sh, sw = c.stride
+    kt, kh, kw = c.kernel
+    S = st * sh * sw
+    keys = iter(jax.random.split(key, 64))
+
+    # encoder
+    ctx_fan_in = c.nc * c.nv * kt * kh * kw
+    enc = {
+        # embedding-form conv weight; fan as the dense (de, nc*nv, k) conv
+        "ctx_table": _xavier_uniform(next(keys), (c.nc, kt, kh, kw, c.nv, c.de),
+                                     ctx_fan_in, c.de * kt * kh * kw),
+        "ctx_bias": jnp.zeros((c.de,)),
+        "slice_embedding": jax.random.normal(next(keys), (S, c.de)),
+        "projector": _xavier_uniform(
+            next(keys),
+            ((2 * c.de if c.class_num > 0 else c.de), c.d),
+            (2 * c.de if c.class_num > 0 else c.de), c.d),
+        "layers": [init_block_attn(next(keys), b, n, c.d, c.da)
+                   for b, n in zip(c.blocks_e, c.n_head_e)],
+    }
+    if c.class_num > 0:
+        enc["class_embedding"] = jax.random.normal(next(keys), (c.class_num, c.de))
+
+    # decoder
+    dec = {
+        "ch_embed": jax.random.normal(next(keys), (c.nc, c.nv, c.de)),
+        "conv_w": _xavier_uniform(next(keys), (3, 3, 3, c.de, c.d),
+                                  c.de * 27, c.d * 27),
+        "conv_b": jnp.zeros((c.d,)),
+        "projector": _xavier_uniform(next(keys), (c.d, c.d), c.d, c.d),
+        "layers": [init_block_attn(next(keys), b, n, c.d, c.da)
+                   for b, n in zip(c.blocks_d, c.n_head_d)],
+    }
+
+    # channel predictor
+    pred: Dict[str, Any] = {
+        "ln_scale": jnp.ones((c.d,)),
+        "ln_bias": jnp.zeros((c.d,)),
+        "U_w": [_xavier_uniform(next(keys), (c.d + k * c.nv, c.d),
+                                c.d + k * c.nv, c.d) for k in range(c.nc)],
+        "U_b": [jnp.zeros((c.d,)) for _ in range(c.nc)],
+    }
+    if c.share_p:
+        assert not c.share_embeddings, "share_p and share_embeddings conflict"
+        pred["P_w"] = _xavier_uniform(next(keys), (c.d, c.nv), c.d, c.nv)
+        pred["P_b"] = jnp.zeros((c.nv,))
+    elif c.share_embeddings:
+        pred["P_w"] = _xavier_uniform(next(keys), (c.d, c.de), c.d, c.de)
+        pred["P_b"] = jnp.zeros((c.de,))
+    else:
+        pred["P_w"] = [_xavier_uniform(next(keys), (c.d, c.nv), c.d, c.nv)
+                       for _ in range(c.nc)]
+        pred["P_b"] = [jnp.zeros((c.nv,)) for _ in range(c.nc)]
+
+    return {"encoder": enc, "decoder": dec, "predictor": pred}
+
+
+# --------------------------------------------------------------------------
+# Forward passes
+# --------------------------------------------------------------------------
+
+def _layer_norm(x, scale, bias, eps=1e-5):
+    mean = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.var(x, axis=-1, keepdims=True)
+    return (x - mean) * jax.lax.rsqrt(var + eps) * scale + bias
+
+
+def vt_encode(params, c: VTConfig, ctx, slice_idx, class_idx=None, *,
+              use_pallas=None, remat=False):
+    """Context branch. ctx: (b, nc, T', H', W') codes with pad_value at
+    invisible positions; slice_idx: (b,). Returns zl (b, t, h, w, d)."""
+    enc = params["encoder"]
+    # pad_value (-1) rows contribute zero, replicating the one-hot zeroing
+    # (videotransformer.py:41-48)
+    x = subscale_context_encode(ctx, enc["ctx_table"], enc["ctx_bias"],
+                                c.stride, c.nv)
+    x = x + enc["slice_embedding"][slice_idx][:, None, None, None, :]
+    if c.class_num > 0 and class_idx is not None:
+        cls = enc["class_embedding"][class_idx][:, None, None, None, :]
+        cls = jnp.broadcast_to(cls, x.shape)
+        x = jnp.concatenate([x, cls], axis=-1)
+    x = x @ enc["projector"]
+    for p, blk in zip(enc["layers"], c.blocks_e):
+        f = lambda xx, pp: block_local_attention(xx, pp, blk, masked=False,
+                                                 use_pallas=use_pallas)
+        if remat:
+            f = jax.checkpoint(f)
+        x = f(x, p)
+    return x
+
+
+def vt_decode(params, c: VTConfig, slice_codes, zl, *, use_pallas=None,
+              remat=False):
+    """Slice branch. slice_codes: (b, nc, t, h, w) int; zl: (b, t, h, w, d).
+    Returns yl (b, t, h, w, d)."""
+    dec = params["decoder"]
+    # embed_sum (videotransformer.py:80-89)
+    emb = jnp.zeros(slice_codes.shape[:1] + slice_codes.shape[2:] + (c.de,),
+                    jnp.float32)
+    for k in range(c.nc):
+        emb = emb + jnp.take(dec["ch_embed"][k], slice_codes[:, k], axis=0)
+    x = masked_conv3d(emb, dec["conv_w"], dec["conv_b"])
+    x = add_positional_encoding(x)
+    x = x + zl @ dec["projector"]
+    for p, blk in zip(dec["layers"], c.blocks_d):
+        f = lambda xx, pp: block_local_attention(xx, pp, blk, masked=True,
+                                                 use_pallas=use_pallas)
+        if remat:
+            f = jax.checkpoint(f)
+        x = f(x, p)
+    return x
+
+
+def _predictor_head(pred, c: VTConfig, k: int, u, dec_params):
+    """relu(u) -> nv logits via shared / per-channel / tied head
+    (videotransformer.py:150-158)."""
+    r = jax.nn.relu(u)
+    if c.share_p:
+        return r @ pred["P_w"] + pred["P_b"]
+    if c.share_embeddings:
+        e = r @ pred["P_w"] + pred["P_b"]  # (..., de)
+        return e @ dec_params["ch_embed"][k].T  # tied to decoder embeddings
+    return r @ pred["P_w"][k] + pred["P_b"][k]
+
+
+def vt_logits(params, c: VTConfig, ctx, slice_codes, slice_idx, class_idx=None,
+              *, use_pallas=None, remat=False):
+    """Teacher-forced logits for all positions/channels.
+
+    Returns (b, t, h, w, nc, nv) float32.
+    """
+    zl = vt_encode(params, c, ctx, slice_idx, class_idx,
+                   use_pallas=use_pallas, remat=remat)
+    yl = vt_decode(params, c, slice_codes, zl, use_pallas=use_pallas,
+                   remat=remat)
+    pred = params["predictor"]
+    y = _layer_norm(yl, pred["ln_scale"], pred["ln_bias"])
+
+    b = slice_codes.shape[0]
+    thw_shape = slice_codes.shape[2:]
+    onehots = jax.nn.one_hot(slice_codes, c.nv, dtype=y.dtype)  # (b, nc, t,h,w, nv)
+    outs = []
+    prev = y
+    feats = y
+    for k in range(c.nc):
+        if k > 0:
+            oh = jnp.moveaxis(onehots[:, :k], 1, -2)  # (b, t,h,w, k, nv)
+            oh = oh.reshape(oh.shape[:-2] + (k * c.nv,))
+            feats = jnp.concatenate([y, oh], axis=-1)
+        u = feats @ params["predictor"]["U_w"][k] + params["predictor"]["U_b"][k]
+        outs.append(_predictor_head(pred, c, k, u, params["decoder"]))
+    return jnp.stack(outs, axis=-2)  # (b, t, h, w, nc, nv)
+
+
+def vt_sample_pixel_channels(params, c: VTConfig, y_pix, key, temp: float,
+                             greedy: bool = False):
+    """Sample the nc channel codes of one pixel autoregressively
+    (videotransformer.py:161-185). y_pix: (b, d) — already layer-normed
+    decoder output at the pixel. Returns (b, nc) int32."""
+    pred = params["predictor"]
+    b = y_pix.shape[0]
+    prev_onehot = jnp.zeros((b, 0), y_pix.dtype)
+    samples = []
+    for k in range(c.nc):
+        feats = jnp.concatenate([y_pix, prev_onehot], axis=-1) if k > 0 else y_pix
+        u = feats @ pred["U_w"][k] + pred["U_b"][k]
+        logits = _predictor_head(pred, c, k, u, params["decoder"])
+        if greedy:
+            sk = jnp.argmax(logits, axis=-1)
+        else:
+            key, sub = jax.random.split(key)
+            sk = jax.random.categorical(sub, logits / temp, axis=-1)
+        samples.append(sk.astype(jnp.int32))
+        oh = jax.nn.one_hot(sk, c.nv, dtype=y_pix.dtype)
+        prev_onehot = jnp.concatenate([prev_onehot, oh], axis=-1)
+    return jnp.stack(samples, axis=1)
+
+
+# --------------------------------------------------------------------------
+# Meta-arch: whole-video operations over the SubscalePlan
+# --------------------------------------------------------------------------
+
+class VideoTransformer:
+    """Meta-arch wrapper (reference VideoTransformerModel, vt.py:22-328)."""
+
+    def __init__(self, cfg, T: int = 16, H: int = 16, W: int = 16):
+        self.cfg = cfg
+        self.c = VTConfig.from_cfg(cfg)
+        self.T, self.H, self.W = T, H, W
+        self.plan = ss.build_plan(*self.c.stride, T, H, W, *self.c.kernel)
+        self.ignore_index = cfg.MODEL.IGNORE_INDEX
+        self.use_pallas: Optional[bool] = None
+        self.remat = bool(cfg.TPU.REMAT)
+
+    def init(self, key):
+        return {"netG": init_vt_params(key, self.c)}
+
+    # -- training ------------------------------------------------------------
+    def prepare_slices(self, video, slice_idx):
+        """On-device slice preparation (replaces the reference's CPU
+        dataloader-worker prep, data/dataset_mapper.py:113-149).
+
+        video: (b, nc, T, H, W) codes; slice_idx: (b,) int32.
+        Returns (context, slice_codes, ignore_mask).
+        """
+        b, nc = video.shape[:2]
+        vflat = video.reshape(b, nc, -1)
+        ctx_maps = jnp.asarray(self.plan.ctx_src)  # (S, T', H', W')
+        sl_maps = jnp.asarray(self.plan.slice_src)  # (S, t, h, w)
+
+        def per_sample(vf, sidx):
+            ctx = ss.gather_context(vf, ctx_maps[sidx], self.c.pad_value)
+            sl = ss.gather_slice(vf, sl_maps[sidx])
+            frame = sl_maps[sidx] // (self.H * self.W)  # video frame per slice pos
+            ignore = frame < self.c.n_prime
+            return ctx, sl, ignore
+
+        return jax.vmap(per_sample)(vflat, slice_idx)
+
+    def sample_train_slice_idx(self, key, batch: int):
+        """Random (a,b,c) per sample. For the single-frame geometry (t==1,
+        sh==sw==1) the reference draws a in [n_prime, st-1]
+        (dataset_mapper.py:124-125) so fully-primed slices are never trained."""
+        st, sh, sw = self.c.stride
+        t = self.T // st
+        if t == 1 and sh == 1 and sw == 1:
+            lo = self.c.n_prime
+        else:
+            lo = 0
+        return jax.random.randint(key, (batch,), lo, st * sh * sw, jnp.int32)
+
+    def loss(self, params, batch, rng, *, axis_name=None):
+        """CE over one random slice per video (reference
+        compute_supervised_loss, vt.py:301-314 + mapper slice prep).
+
+        batch: {"video": (b, nc, T, H, W) int32, optional "class": (b,)}.
+        """
+        video = batch["video"]
+        b = video.shape[0]
+        k_idx, _ = jax.random.split(rng)
+        slice_idx = self.sample_train_slice_idx(k_idx, b)
+        ctx, slice_codes, ignore = self.prepare_slices(video, slice_idx)
+        class_idx = batch.get("class") if self.c.class_num > 0 else None
+
+        logits = vt_logits(params["netG"], self.c, ctx, slice_codes, slice_idx,
+                           class_idx, use_pallas=self.use_pallas,
+                           remat=self.remat)  # (b, t, h, w, nc, nv)
+        targets = jnp.moveaxis(slice_codes, 1, -1)  # (b, t, h, w, nc)
+        valid = ~ignore[..., None]  # (b, t, h, w, 1) -> broadcast over nc
+
+        logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        ce = -jnp.take_along_axis(logp, targets[..., None], axis=-1)[..., 0]
+        valid_f = jnp.broadcast_to(valid, ce.shape).astype(jnp.float32)
+        # per-channel mean over non-ignored, then mean over channels
+        # (vt.py:309-312: sum of per-channel F.cross_entropy / nc)
+        num = jnp.sum(ce * valid_f, axis=(0, 1, 2, 3))
+        den = jnp.maximum(jnp.sum(valid_f, axis=(0, 1, 2, 3)), 1.0)
+        loss = jnp.mean(num / den)
+        if axis_name is not None:
+            loss = jax.lax.pmean(loss, axis_name)
+        return loss, {"loss_cross_entropy": loss}
+
+    # -- evaluation ----------------------------------------------------------
+    def logits_for_entire_video(self, params, video, class_idx=None):
+        """Teacher-forced logits for all S slices, scattered to full-video
+        layout (reference calculate_logits_for_entire_video, vt.py:230-282).
+
+        video: (b, nc, T, H, W) -> logits (b, T, H, W, nc, nv), plus the
+        prime-frame ignore mask (T,) broadcastable.
+        """
+        b, nc = video.shape[:2]
+        vflat = video.reshape(b, nc, -1)
+        ctx_maps = jnp.asarray(self.plan.ctx_src)
+        sl_maps = jnp.asarray(self.plan.slice_src)
+        S = self.plan.num_slices
+        THW = self.T * self.H * self.W
+
+        def body(carry, s):
+            logits_flat = carry
+            ctx = ss.gather_context(vflat, ctx_maps[s], self.c.pad_value)
+            sl = ss.gather_slice(vflat, sl_maps[s])
+            sidx = jnp.full((b,), s, jnp.int32)
+            lg = vt_logits(params["netG"], self.c, ctx, sl, sidx, class_idx,
+                           use_pallas=self.use_pallas)  # (b, t, h, w, nc, nv)
+            lg_flat = lg.reshape(b, -1, nc, self.c.nv)
+            logits_flat = logits_flat.at[:, sl_maps[s].reshape(-1)].set(lg_flat)
+            return logits_flat, None
+
+        init = jnp.zeros((b, THW, nc, self.c.nv), jnp.float32)
+        logits_flat, _ = jax.lax.scan(body, init, jnp.arange(S))
+        return logits_flat.reshape(b, self.T, self.H, self.W, nc, self.c.nv)
+
+    # -- sampling ------------------------------------------------------------
+    def sample_video(self, params, video, key, *, temp: float = 1.0,
+                     n_prime: Optional[int] = None, class_idx=None):
+        """AR-sample all non-primed positions (reference sample_video,
+        vt.py:82-136) as a scan over slices x pixels, jit-compatible.
+
+        video: (b, nc, T, H, W) with primed frames filled, others arbitrary.
+        """
+        if n_prime is None:
+            n_prime = self.c.n_prime
+        c = self.c
+        b, nc = video.shape[:2]
+        t, h, w = self.plan.slice_shape
+        thw = t * h * w
+        vflat = video.reshape(b, nc, -1)
+        ctx_maps = jnp.asarray(self.plan.ctx_src)
+        sl_maps = jnp.asarray(self.plan.slice_src)
+        S = self.plan.num_slices
+
+        def sample_slice(carry, s):
+            vf, key = carry
+            sl = ss.gather_slice(vf, sl_maps[s])  # (b, nc, t, h, w)
+            frame = sl_maps[s].reshape(-1) // (self.H * self.W)
+            primed = frame < n_prime  # (thw,)
+
+            def run(operand):
+                sl, key = operand
+                ctx = ss.gather_context(vf, ctx_maps[s], c.pad_value)
+                sidx = jnp.full((b,), s, jnp.int32)
+                zl = vt_encode(params["netG"], c, ctx, sidx, class_idx,
+                               use_pallas=self.use_pallas)
+                return self._sample_slice_pixels(params, zl, sl, key, primed, temp)
+
+            # fully-primed slices (e.g. the first n_prime DSFVT frames) are
+            # skipped wholesale — the reference skips per-pixel (vt.py:126-127)
+            sl, key = jax.lax.cond(jnp.all(primed), lambda op: op, run, (sl, key))
+            vf = ss.scatter_slice(vf, sl_maps[s], sl)
+            return (vf, key), None
+
+        (vflat, _), _ = jax.lax.scan(sample_slice, (vflat, key), jnp.arange(S))
+        return vflat.reshape(b, nc, self.T, self.H, self.W)
+
+    def _sample_slice_pixels(self, params, zl, sl, key, primed, temp):
+        """Scan raster positions of one slice, sampling each pixel's nc
+        channels with the full decoder context (exact AR factorization)."""
+        c = self.c
+        b, nc = sl.shape[:2]
+        t, h, w = self.plan.slice_shape
+        thw = t * h * w
+
+        def sample_pixel(carry_p, p):
+            sl_codes, key = carry_p
+            yl = vt_decode(params["netG"], c, sl_codes, zl,
+                           use_pallas=self.use_pallas)
+            pred = params["netG"]["predictor"]
+            y_flat = yl.reshape(b, thw, c.d)
+            y_pix = _layer_norm(y_flat[:, p], pred["ln_scale"], pred["ln_bias"])
+            key, sub = jax.random.split(key)
+            new_codes = vt_sample_pixel_channels(params["netG"], c, y_pix,
+                                                 sub, temp)  # (b, nc)
+            sl_flat = sl_codes.reshape(b, nc, thw)
+            old = sl_flat[:, :, p]
+            val = jnp.where(primed[p], old, new_codes)
+            sl_flat = sl_flat.at[:, :, p].set(val)
+            return (sl_flat.reshape(b, nc, t, h, w), key), None
+
+        (sl, key), _ = jax.lax.scan(sample_pixel, (sl, key), jnp.arange(thw))
+        return sl, key
+
+
+@AUTOREGRESSIVE_REGISTRY.register()
+def VideoTransformerModel(cfg, **kwargs):
+    return VideoTransformer(cfg, **kwargs)
+
+
+def build_autoregressive(cfg, **kwargs):
+    # the reference dispatches on MODEL.AUTOREGRESSIVE.NAME ("VideoTransformer")
+    # inside the VideoTransformerModel meta-arch; we expose the same surface
+    name = cfg.MODEL.AUTOREGRESSIVE.NAME
+    if name == "VideoTransformer":
+        return VideoTransformer(cfg, **kwargs)
+    raise KeyError(f"Unknown autoregressive model {name}")
