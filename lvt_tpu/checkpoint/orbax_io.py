@@ -1,0 +1,84 @@
+"""Checkpoint save/resume on Orbax (reference: fvcore Checkpointer with
+netE/netG/netC subdirectories, meta_arch/ae.py:231-238, engine/defaults.py:175-191).
+
+One Orbax checkpoint per step holds the full training tree (params, model
+state, optimizer state, step). The netE/netG/netC split lives *inside* the
+tree, so per-subnet pretrained weights can still be grafted independently.
+
+Reference bug NOT replicated: resume restores the iteration counter (the
+reference comments that restore out and always restarts at iter 0,
+defaults.py:186-191).
+"""
+
+import logging
+import os
+import re
+from typing import Any, Optional
+
+import jax
+import orbax.checkpoint as ocp
+
+logger = logging.getLogger(__name__)
+
+_CKPT_DIR = "checkpoints"
+_CKPT_PREFIX = "ckpt_"
+
+
+def checkpoint_dir(output_dir: str) -> str:
+    return os.path.join(os.path.abspath(output_dir), _CKPT_DIR)
+
+
+def save_checkpoint(output_dir: str, step: int, tree: Any) -> str:
+    path = os.path.join(checkpoint_dir(output_dir), f"{_CKPT_PREFIX}{step}")
+    with ocp.PyTreeCheckpointer() as ckptr:
+        ckptr.save(path, tree, force=True)
+    logger.info(f"Saved checkpoint to {path}")
+    return path
+
+
+def latest_checkpoint(output_dir: str) -> Optional[str]:
+    d = checkpoint_dir(output_dir)
+    if not os.path.isdir(d):
+        return None
+    steps = []
+    for name in os.listdir(d):
+        m = re.fullmatch(rf"{_CKPT_PREFIX}(\d+)", name)
+        if m:
+            steps.append(int(m.group(1)))
+    if not steps:
+        return None
+    return os.path.join(d, f"{_CKPT_PREFIX}{max(steps)}")
+
+
+def load_checkpoint(path: str, target: Any) -> Any:
+    """Restore a checkpoint into the structure of ``target``."""
+    with ocp.PyTreeCheckpointer() as ckptr:
+        return ckptr.restore(path, ocp.args.PyTreeRestore(item=target))
+
+
+def resume_or_load(output_dir: str, target: Any, *, resume: bool = True) -> Any:
+    """Restore the latest checkpoint under output_dir if present; else
+    return target unchanged (pretrained grafting happens upstream)."""
+    if resume:
+        path = latest_checkpoint(output_dir)
+        if path is not None:
+            logger.info(f"Resuming from {path}")
+            return load_checkpoint(path, target)
+    return target
+
+
+def prune_checkpoints(output_dir: str, keep: int = 2) -> None:
+    """Remove all but the newest ``keep`` checkpoints."""
+    d = checkpoint_dir(output_dir)
+    if not os.path.isdir(d):
+        return
+    entries = []
+    for name in os.listdir(d):
+        m = re.fullmatch(rf"{_CKPT_PREFIX}(\d+)", name)
+        if m:
+            entries.append((int(m.group(1)), name))
+    entries.sort()
+    import shutil
+
+    for _, name in entries[:-keep] if keep > 0 else entries:
+        shutil.rmtree(os.path.join(d, name), ignore_errors=True)

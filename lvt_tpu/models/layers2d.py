@@ -167,21 +167,26 @@ def apply_seq(spec, params, state, x, *, norm: str, use_spectral: bool,
             x, ns = apply_norm(norm, p, s, x, train, axis_name=axis_name)
         elif kind == "resblock":
             _, dim, dim_res = layer
-            y = jax.nn.relu(x)
+            # NOTE: the reference ResBlock computes `x + self.block(x)` where
+            # block starts with an *in-place* ReLU (resencoder.py:13-21) — the
+            # inplace op mutates x before the residual add, so the actual
+            # semantics (and what trained checkpoints encode) are
+            # relu(x) + conv1(relu(conv3(relu(x)))). We reproduce that.
+            r = jax.nn.relu(x)
             w1, w2 = p["w1"], p["w2"]
             ns = dict(s)
             if use_spectral:
                 w1, u1 = _spectral_normalize(w1, s["u1"], train)
                 w2, u2 = _spectral_normalize(w2, s["u2"], train)
                 ns["u1"], ns["u2"] = u1, u2
-            y = conv2d(y, w1, p.get("b1"), stride=1, padding=1)
+            y = conv2d(r, w1, p.get("b1"), stride=1, padding=1)
             if "n1" in p:
                 y, ns["n1"] = apply_norm(norm, p["n1"], s["n1"], y, train, axis_name=axis_name)
             y = jax.nn.relu(y)
             y = conv2d(y, w2, p.get("b2"), stride=1, padding=0)
             if "n2" in p:
                 y, ns["n2"] = apply_norm(norm, p["n2"], s["n2"], y, train, axis_name=axis_name)
-            x = x + y
+            x = r + y
         elif kind == "relu":
             x = jax.nn.relu(x)
         elif kind == "lrelu":

@@ -1,0 +1,158 @@
+"""Optimizers and LR schedules (reference: vidgen/solver/build.py,
+lr_scheduler.py) on optax.
+
+Parity notes:
+* Adam — optax.scale_by_adam with eps=1e-8/eps_root=0 matches torch.optim.Adam
+  exactly (bias-corrected moments, eps added outside the sqrt).
+* RMSprop — torch's update is v <- a*v + (1-a)*g^2; buf <- mu*buf + g/(sqrt(v)+eps);
+  p -= lr*buf. optax.rmsprop puts eps *inside* the sqrt and orders momentum
+  differently, so we implement the torch recurrence directly
+  (``scale_by_torch_rmsprop``) — the shipped VT configs train with
+  momentum=0.9, where the difference is real.
+* Weight decay — reference builds per-param groups with separate decay for
+  norm weights and biases (solver/build.py:12-43). We apply decay through a
+  pytree mask keyed on parameter path (bias-like leaf names / norm scales).
+  All shipped configs use decay 0 everywhere.
+* Schedules — multiplicative factor on the base lr: Identity,
+  WarmupMultiStepLR, WarmupCosineLR with constant/linear warmup
+  (lr_scheduler.py:17-117).
+"""
+
+from bisect import bisect_right
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+
+class TorchRmspropState(NamedTuple):
+    v: optax.Updates
+    buf: optax.Updates
+
+
+def scale_by_torch_rmsprop(alpha: float, momentum: float, eps: float = 1e-8):
+    def init_fn(params):
+        z = jax.tree_util.tree_map(jnp.zeros_like, params)
+        return TorchRmspropState(v=z, buf=jax.tree_util.tree_map(jnp.zeros_like, params))
+
+    def update_fn(updates, state, params=None):
+        v = jax.tree_util.tree_map(
+            lambda vi, g: alpha * vi + (1 - alpha) * (g * g), state.v, updates)
+        scaled = jax.tree_util.tree_map(
+            lambda g, vi: g / (jnp.sqrt(vi) + eps), updates, v)
+        if momentum > 0:
+            buf = jax.tree_util.tree_map(
+                lambda b, s: momentum * b + s, state.buf, scaled)
+            out = buf
+        else:
+            buf = state.buf
+            out = scaled
+        return out, TorchRmspropState(v=v, buf=buf)
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
+def _warmup_factor(method: str, it, warmup_iters: int, warmup_factor: float):
+    """reference lr_scheduler.py:91-117; returns an array factor."""
+    if warmup_iters <= 0:
+        return jnp.asarray(1.0)
+    if method == "constant":
+        f = jnp.asarray(warmup_factor)
+    elif method == "linear":
+        alpha = it / warmup_iters
+        f = warmup_factor * (1 - alpha) + alpha
+    else:
+        raise ValueError(f"Unknown warmup method: {method}")
+    return jnp.where(it >= warmup_iters, 1.0, f)
+
+
+def build_lr_schedule(cfg) -> Callable:
+    """Returns schedule(step) -> multiplicative lr factor (base lr excluded)."""
+    name = cfg.SOLVER.LR_SCHEDULER_NAME
+    if name == "Identity":
+        return lambda step: jnp.asarray(1.0)
+
+    warmup_iters = cfg.SOLVER.WARMUP_ITERS
+    warmup_factor = cfg.SOLVER.WARMUP_FACTOR
+    warmup_method = cfg.SOLVER.WARMUP_METHOD
+
+    if name == "WarmupMultiStepLR":
+        milestones = list(cfg.SOLVER.STEPS)
+        assert milestones == sorted(milestones)
+        gamma = cfg.SOLVER.GAMMA
+        ms = jnp.asarray(milestones or [np.iinfo(np.int32).max])
+
+        def schedule(step):
+            w = _warmup_factor(warmup_method, step, warmup_iters, warmup_factor)
+            n_passed = jnp.sum(step >= ms) if milestones else 0
+            return w * (gamma ** n_passed)
+
+        return schedule
+
+    if name == "WarmupCosineLR":
+        max_iters = cfg.SOLVER.MAX_ITER
+
+        def schedule(step):
+            w = _warmup_factor(warmup_method, step, warmup_iters, warmup_factor)
+            return w * 0.5 * (1.0 + jnp.cos(jnp.pi * step / max_iters))
+
+        return schedule
+
+    raise ValueError(f"Unknown LR scheduler: {name}")
+
+
+def _is_bias_path(path) -> bool:
+    names = [getattr(p, "key", getattr(p, "name", getattr(p, "idx", ""))) for p in path]
+    last = str(names[-1]) if names else ""
+    return last in ("b", "bias", "ctx_bias", "conv_b", "ln_bias", "ffn_ln_bias",
+                    "ffn_b1", "ffn_b2", "P_b", "U_b")
+
+
+def _is_norm_path(path) -> bool:
+    names = [str(getattr(p, "key", "")) for p in path]
+    return any(n in ("ln_scale", "ln_bias", "ffn_ln_scale", "ffn_ln_bias", "scale") for n in names)
+
+
+def build_optimizer(cfg, suffix: str = "_G") -> optax.GradientTransformation:
+    """Optimizer with the reference's hyperparameter suffix scheme
+    (solver/build.py:46-74) and schedule baked in."""
+    S = cfg.SOLVER
+    lr = getattr(S, "LR" + suffix)
+    wd_base = getattr(S.WEIGHT_DECAY, "BASE" + suffix)
+    wd_bias = getattr(S.WEIGHT_DECAY, "BIAS" + suffix)
+    wd_norm = getattr(S.WEIGHT_DECAY, "NORM" + suffix)
+
+    chain = []
+    if any(w != 0.0 for w in (wd_base, wd_bias, wd_norm)):
+        def decay_mask_value(path, leaf):
+            if _is_norm_path(path):
+                return wd_norm
+            if _is_bias_path(path):
+                return wd_bias
+            return wd_base
+
+        def add_decay(updates, state, params=None):
+            assert params is not None
+            upd = jax.tree_util.tree_map_with_path(
+                lambda path, g, p: g + decay_mask_value(path, p) * p, updates, params)
+            return upd, state
+
+        chain.append(optax.GradientTransformation(lambda p: (), add_decay))
+
+    name = S.OPTIMIZER_NAME
+    if name == "adam":
+        b1 = getattr(S.ADAM, "BETA1" + suffix)
+        b2 = getattr(S.ADAM, "BETA2" + suffix)
+        chain.append(optax.scale_by_adam(b1=b1, b2=b2, eps=1e-8, eps_root=0.0))
+    elif name == "rmsprop":
+        alpha = getattr(S.RMSPROP, "ALPHA" + suffix)
+        momentum = getattr(S.RMSPROP, "MOMENTUM" + suffix)
+        chain.append(scale_by_torch_rmsprop(alpha, momentum))
+    else:
+        raise ValueError(f"Unknown optimizer: {name}")
+
+    schedule = build_lr_schedule(cfg)
+    chain.append(optax.scale_by_schedule(lambda step: -lr * schedule(step)))
+    return optax.chain(*chain)
