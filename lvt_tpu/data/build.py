@@ -1,0 +1,145 @@
+"""Loader builders (reference: vidgen/data/build.py:41-156).
+
+TPU-native loader design: host threads run the mapper (PIL / np.load release
+the GIL), batches are collated into stacked numpy arrays (not the reference's
+list-of-dicts) so one device_put moves the whole batch, and a small prefetch
+queue keeps the input pipeline ahead of the jitted step. One process per
+host — no worker-process spawning.
+"""
+
+import logging
+import queue
+import threading
+from typing import Iterator, List, Optional
+
+import numpy as np
+
+from ..utils import comm
+from .catalog import DatasetCatalog
+from .mapper import DatasetMapper
+from .samplers import InferenceSampler, TrainingSampler
+
+logger = logging.getLogger(__name__)
+
+_ARRAY_KEYS = ("image", "image_sequence", "video", "class")
+
+
+def get_dataset_dicts(dataset_names) -> List[dict]:
+    assert len(dataset_names)
+    all_dicts = [DatasetCatalog.get(name) for name in dataset_names]
+    for name, dicts in zip(dataset_names, all_dicts):
+        assert len(dicts), f"Dataset '{name}' is empty!"
+    return [d for dicts in all_dicts for d in dicts]
+
+
+def collate(samples: List[dict]) -> dict:
+    """Stack array fields; keep other metadata as lists."""
+    out = {}
+    for k in samples[0]:
+        vals = [s[k] for s in samples]
+        if k in _ARRAY_KEYS:
+            out[k] = np.stack([np.asarray(v) for v in vals])
+        else:
+            out[k] = vals
+    return out
+
+
+class _PrefetchLoader:
+    """Iterable over collated batches with a bounded background prefetcher."""
+
+    def __init__(self, dataset_dicts, mapper, index_iter_factory, batch_size,
+                 num_workers, drop_last, infinite, max_retries=50):
+        self._dicts = dataset_dicts
+        self._mapper = mapper
+        self._index_iter_factory = index_iter_factory
+        self._batch = batch_size
+        self._workers = max(1, num_workers)
+        self._drop_last = drop_last
+        self._infinite = infinite
+        self._max_retries = max_retries
+        self._fallback_rng = np.random.default_rng(0)
+
+    def __len__(self):
+        return (len(self._dicts) + self._batch - 1) // self._batch
+
+    def _map_one(self, idx: int) -> dict:
+        """Map with retry-on-None fallback (reference MapDataset,
+        data/common.py:37-58)."""
+        for attempt in range(self._max_retries):
+            d = self._mapper(self._dicts[idx])
+            if d is not None:
+                return d
+            idx = int(self._fallback_rng.integers(len(self._dicts)))
+        raise RuntimeError(f"Mapper failed {self._max_retries} times in a row")
+
+    def _produce(self, q: queue.Queue):
+        from concurrent.futures import ThreadPoolExecutor
+
+        try:
+            with ThreadPoolExecutor(self._workers) as pool:
+                batch_idx: List[int] = []
+                for idx in self._index_iter_factory():
+                    batch_idx.append(int(idx))
+                    if len(batch_idx) == self._batch:
+                        samples = list(pool.map(self._map_one, batch_idx))
+                        q.put(collate(samples))
+                        batch_idx = []
+                if batch_idx and not self._drop_last:
+                    samples = list(pool.map(self._map_one, batch_idx))
+                    q.put(collate(samples))
+        except Exception as e:  # surface loader errors in the consumer
+            q.put(e)
+        q.put(None)
+
+    def __iter__(self) -> Iterator[dict]:
+        q: queue.Queue = queue.Queue(maxsize=4)
+        t = threading.Thread(target=self._produce, args=(q,), daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is None:
+                return
+            if isinstance(item, Exception):
+                raise item
+            yield item
+
+
+def build_train_loader(cfg, mapper: Optional[DatasetMapper] = None):
+    """Infinite sharded training loader; global IMS_PER_BATCH split across
+    host processes (reference build.py:41-107)."""
+    world = comm.get_world_size()
+    total = cfg.SOLVER.IMS_PER_BATCH
+    assert total % world == 0 and total >= world, (
+        f"SOLVER.IMS_PER_BATCH ({total}) must be divisible by the number of "
+        f"processes ({world}).")
+    per_proc = total // world
+
+    dataset_dicts = get_dataset_dicts(cfg.DATASETS.TRAIN)
+    if mapper is None:
+        mapper = DatasetMapper(cfg, is_train=True)
+
+    name = cfg.DATALOADER.SAMPLER_TRAIN
+    assert name == "TrainingSampler", f"Unknown training sampler: {name}"
+    seed = cfg.SEED if cfg.SEED > 0 else None
+    sampler = TrainingSampler(len(dataset_dicts), seed=seed)
+
+    logger.info(f"Train loader: {len(dataset_dicts)} samples, "
+                f"{per_proc}/process of global batch {total}")
+    return _PrefetchLoader(
+        dataset_dicts, mapper, lambda: iter(sampler), per_proc,
+        cfg.DATALOADER.NUM_WORKERS, drop_last=True, infinite=True,
+    ), len(dataset_dicts)
+
+
+def build_test_loader(cfg, dataset_name: str, mapper: Optional[DatasetMapper] = None,
+                      batch_size: int = 1):
+    """Per-rank contiguous shard, batch 1 by default (reference
+    build.py:110-145)."""
+    dataset_dicts = get_dataset_dicts([dataset_name])
+    if mapper is None:
+        mapper = DatasetMapper(cfg, is_train=False)
+    sampler = InferenceSampler(len(dataset_dicts), cfg.TEST.N_SAMPLES)
+    return _PrefetchLoader(
+        dataset_dicts, mapper, lambda: iter(sampler), batch_size,
+        cfg.DATALOADER.NUM_WORKERS, drop_last=False, infinite=False,
+    )

@@ -1,0 +1,203 @@
+"""The jitted trainer (reference: vidgen/engine/trainer.py, defaults.py).
+
+TPU-native redesign: instead of DDP + per-GPU processes + loss.backward(),
+there is ONE jitted ``train_step(state, batch, rng) -> (state, metrics)``
+compiled over a (data, model) mesh. The batch is sharded over the data axis,
+params/optimizer state are replicated (or model-sharded via NamedSharding),
+and XLA inserts the gradient/EMA collectives that DDP + the reference's
+AllReduce autograd Function did by hand.
+
+Gradient accumulation follows the reference semantics exactly: gradients are
+*summed* across ACCUMULATION_STEPS consecutive batches and applied once
+(engine/trainer.py:78-87 calls backward every iter, optimizer.step every A).
+
+Metrics leave the device lazily (flushed every ``metrics_period`` steps) so
+the step dispatch pipeline never blocks on host reads; the non-finite-loss
+guard (reference defaults.py:273-279) runs at flush time.
+"""
+
+import logging
+import time
+from typing import Any, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..checkpoint import latest_checkpoint, load_checkpoint
+from ..models import build_model, param_count
+from ..parallel.mesh import batch_sharding, mesh_from_cfg, replicated
+from ..solver import build_optimizer
+from .train_loop import TrainerBase
+
+logger = logging.getLogger(__name__)
+
+
+class TrainState(NamedTuple):
+    params: Any
+    model_state: Any
+    opt_state: Any
+    accum_grads: Any  # zeros-like params when ACCUMULATION_STEPS > 1, else None
+    step: jnp.ndarray
+
+
+def _tree_add(a, b):
+    return jax.tree_util.tree_map(jnp.add, a, b)
+
+
+def _tree_zeros_like(t):
+    return jax.tree_util.tree_map(jnp.zeros_like, t)
+
+
+def make_train_step(model, optimizer, accumulation_steps: int = 1):
+    """Build the pure train step; jit it with donated state."""
+
+    def train_step(state: TrainState, batch, base_rng):
+        rng = jax.random.fold_in(base_rng, state.step)
+
+        def loss_fn(params):
+            loss, (metrics, new_mstate) = model.train_loss(
+                params, state.model_state, batch, rng)
+            return loss, (metrics, new_mstate)
+
+        grads, (metrics, new_mstate) = jax.grad(loss_fn, has_aux=True)(state.params)
+
+        if accumulation_steps == 1:
+            updates, new_opt = optimizer.update(grads, state.opt_state, state.params)
+            new_params = optax.apply_updates(state.params, updates)
+            new_accum = None
+        else:
+            acc = _tree_add(state.accum_grads, grads)
+            do_update = (state.step + 1) % accumulation_steps == 0
+
+            def apply_fn(operand):
+                params, opt_state, acc = operand
+                updates, new_opt = optimizer.update(acc, opt_state, params)
+                return (optax.apply_updates(params, updates), new_opt,
+                        _tree_zeros_like(acc))
+
+            def skip_fn(operand):
+                params, opt_state, acc = operand
+                return params, opt_state, acc
+
+            new_params, new_opt, new_accum = jax.lax.cond(
+                do_update, apply_fn, skip_fn,
+                (state.params, state.opt_state, acc))
+
+        new_state = TrainState(
+            params=new_params, model_state=new_mstate, opt_state=new_opt,
+            accum_grads=new_accum, step=state.step + 1)
+        return new_state, metrics
+
+    return train_step
+
+
+class Trainer(TrainerBase):
+    """End-to-end trainer for any meta-arch exposing init/train_loss
+    (reference Trainer, engine/trainer.py:9-128; GAN path is intentionally
+    not rebuilt — the reference ships no discriminator, SURVEY.md §2.5)."""
+
+    def __init__(self, cfg, data_loader, model=None, mesh=None):
+        super().__init__()
+        self.cfg = cfg
+        self.model = model if model is not None else build_model(cfg)
+        self.mesh = mesh if mesh is not None else mesh_from_cfg(cfg)
+        self.metrics_period = 20
+
+        seed = cfg.SEED if cfg.SEED > 0 else 0
+        init_key = jax.random.key(seed)
+        self._step_key = jax.random.key(seed + 1)
+
+        params, mstate = self.model.init(init_key)
+        self.optimizer = build_optimizer(cfg, suffix="_G")
+        opt_state = self.optimizer.init(params)
+
+        accum = cfg.SOLVER.ACCUMULATION_STEPS
+        accum_grads = _tree_zeros_like(params) if accum > 1 else None
+        state = TrainState(params=params, model_state=mstate,
+                           opt_state=opt_state, accum_grads=accum_grads,
+                           step=jnp.zeros((), jnp.int32))
+        # replicate across the mesh
+        rep = replicated(self.mesh)
+        self.state = jax.device_put(state, rep)
+        self._step_key = jax.device_put(self._step_key, rep)
+        self._batch_sharding = batch_sharding(self.mesh)
+
+        self._train_step = jax.jit(
+            make_train_step(self.model, self.optimizer, accum),
+            donate_argnums=(0,))
+
+        self._data_loader = data_loader
+        self._data_loader_iter = iter(data_loader)
+        self._pending_metrics = []
+
+        n = param_count(params)
+        logger.info(f"Model has {n / 1e6:.2f}M parameters; "
+                    f"mesh {self.mesh.shape}; accumulation={accum}")
+
+    # -- step ---------------------------------------------------------------
+    def run_step(self):
+        start = time.perf_counter()
+        batch = next(self._data_loader_iter)
+        batch = self._put_batch(batch)
+        data_time = time.perf_counter() - start
+
+        self.state, metrics = self._train_step(self.state, batch, self._step_key)
+        self._pending_metrics.append((self.iter, data_time, metrics))
+        if len(self._pending_metrics) >= self.metrics_period:
+            self.flush_metrics()
+
+    def _put_batch(self, batch):
+        return jax.tree_util.tree_map(
+            lambda x: jax.device_put(jnp.asarray(x), self._batch_sharding), batch)
+
+    def flush_metrics(self):
+        pending, self._pending_metrics = self._pending_metrics, []
+        for it, data_time, metrics in pending:
+            host = {k: float(v) for k, v in metrics.items()}
+            total = sum(host.values())
+            if not np.isfinite(total):
+                raise FloatingPointError(
+                    f"Loss became infinite or NaN at iteration={it}! "
+                    f"loss_dict={host}")
+            self.storage._iter, saved = it, self.storage._iter
+            self.storage.put_scalars(total_loss=total, **host)
+            self.storage.put_scalar("data_time", data_time)
+            self.storage._iter = saved
+
+    def after_step(self):
+        # make metrics current before periodic writers run
+        if (self.iter + 1) % self.metrics_period == 0 or self.iter == self.max_iter - 1:
+            self.flush_metrics()
+        super().after_step()
+
+    # -- checkpoint ---------------------------------------------------------
+    def checkpoint_tree(self):
+        return {"params": self.state.params,
+                "model_state": self.state.model_state,
+                "opt_state": self.state.opt_state,
+                "step": self.state.step}
+
+    def resume_or_load(self, resume: bool = True) -> int:
+        """Returns the start iteration (restored on resume — fixing the
+        reference's dropped start_iter, defaults.py:186-191)."""
+        if not resume:
+            return 0
+        path = latest_checkpoint(self.cfg.OUTPUT_DIR)
+        if path is None:
+            return 0
+        restored = load_checkpoint(path, self.checkpoint_tree())
+        self.state = self.state._replace(
+            params=restored["params"], model_state=restored["model_state"],
+            opt_state=restored["opt_state"], step=jnp.asarray(restored["step"]))
+        start = int(restored["step"])
+        logger.info(f"Resumed from {path} at iteration {start}")
+        return start
+
+    def train(self, start_iter: Optional[int] = None, max_iter: Optional[int] = None):
+        if start_iter is None:
+            start_iter = int(self.state.step)
+        if max_iter is None:
+            max_iter = self.cfg.SOLVER.MAX_ITER
+        super().train(start_iter, max_iter)

@@ -141,6 +141,20 @@ class VQVAE:
         total = sum(loss_dict.values())
         return total, (loss_dict, new_state)
 
+    def train_loss(self, params, model_state, batch, rng, *, axis_name=None):
+        """Uniform trainer interface. batch: {"image": (b, H, W, C)} or
+        {"image_sequence": (b, t, H, W, C)} raw frames (already /255 when
+        INPUT.SCALE_TO_ZEROONE); normalization happens here on device
+        (reference preprocess_data, ae.py:151-168)."""
+        if "image_sequence" in batch:
+            x = batch["image_sequence"]
+            b, t = x.shape[:2]
+            x = x.reshape((b * t,) + x.shape[2:])
+        else:
+            x = batch["image"]
+        x = self.normalize(x)
+        return self.loss(params, model_state, x, train=True, axis_name=axis_name)
+
 
 class AutoEncoder:
     """Plain AE meta-arch (reference AutoEncoderModel, ae.py:21-244)."""
@@ -195,3 +209,13 @@ class AutoEncoder:
         out, sg = self.decode(params, state, z, train=train, axis_name=axis_name)
         loss = jnp.mean((out - x) ** 2)
         return loss, ({"loss_ae_mse": loss}, {"netE": se, "netG": sg})
+
+    def train_loss(self, params, model_state, batch, rng, *, axis_name=None):
+        if "image_sequence" in batch:
+            x = batch["image_sequence"]
+            b, t = x.shape[:2]
+            x = x.reshape((b * t,) + x.shape[2:])
+        else:
+            x = batch["image"]
+        x = self.normalize(x)
+        return self.loss(params, model_state, x, train=True, axis_name=axis_name)

@@ -273,7 +273,8 @@ class VideoTransformer:
         self.remat = bool(cfg.TPU.REMAT)
 
     def init(self, key):
-        return {"netG": init_vt_params(key, self.c)}
+        """Returns (params, model_state); the VT keeps no mutable state."""
+        return {"netG": init_vt_params(key, self.c)}, {}
 
     # -- training ------------------------------------------------------------
     def prepare_slices(self, video, slice_idx):
@@ -339,6 +340,11 @@ class VideoTransformer:
         if axis_name is not None:
             loss = jax.lax.pmean(loss, axis_name)
         return loss, {"loss_cross_entropy": loss}
+
+    def train_loss(self, params, model_state, batch, rng, *, axis_name=None):
+        """Uniform trainer interface; the VT has no mutable model state."""
+        loss, metrics = self.loss(params, batch, rng, axis_name=axis_name)
+        return loss, (metrics, model_state)
 
     # -- evaluation ----------------------------------------------------------
     def logits_for_entire_video(self, params, video, class_idx=None):

@@ -53,7 +53,8 @@ def init_codebook(key, num: int, K: int, D: int) -> EmaCodebookState:
     return EmaCodebookState(
         embedding=emb,
         running_size=jnp.zeros((num, K), jnp.float32),
-        running_sum=emb,
+        # distinct buffer: embedding and running_sum must not alias (donation)
+        running_sum=emb.copy(),
     )
 
 

@@ -35,8 +35,8 @@ def build_mesh(
     if data == -1:
         assert n % model == 0, f"{n} devices not divisible by model={model}"
         data = n // model
-    assert data * model == n, f"mesh {data}x{model} != {n} devices"
-    dev_array = np.asarray(devices).reshape(data, model)
+    assert data * model <= n, f"mesh {data}x{model} needs more than {n} devices"
+    dev_array = np.asarray(devices[: data * model]).reshape(data, model)
     return Mesh(dev_array, (DATA_AXIS, MODEL_AXIS))
 
 

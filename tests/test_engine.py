@@ -1,0 +1,149 @@
+"""Trainer tests: loss decreases on a tiny VQ-VAE, gradient-accumulation
+semantics match the reference (summed grads, step every A), resume restores
+the iteration counter, NaN guard fires."""
+
+import itertools
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lvt_tpu.config import get_cfg
+from lvt_tpu.engine import Trainer
+from lvt_tpu.engine.hooks import PeriodicCheckpointer
+from lvt_tpu.parallel.mesh import build_mesh
+
+CONFIG_DIR = os.path.join(os.path.dirname(__file__), "..", "configs")
+
+
+def _cfg(tmp_path, accum=1):
+    cfg = get_cfg()
+    cfg.merge_from_file(os.path.join(CONFIG_DIR, "vqvae", "PR-DVQVAE2.yaml"))
+    cfg.MODEL.ENCODER.NF = 16
+    cfg.MODEL.ENCODER.RES_CHANNELS = 8
+    cfg.MODEL.ENCODER.N_LAYERS = 1
+    cfg.MODEL.GENERATOR.NF = 16
+    cfg.MODEL.GENERATOR.RES_CHANNELS = 8
+    cfg.MODEL.GENERATOR.N_LAYERS = 1
+    cfg.MODEL.GENERATOR.IN_CHANNELS = 16
+    cfg.MODEL.CODEBOOK.DIM = 16
+    cfg.SOLVER.IMS_PER_BATCH = 8
+    cfg.SOLVER.LR_G = 1e-3
+    cfg.SOLVER.ACCUMULATION_STEPS = accum
+    cfg.SOLVER.MAX_ITER = 30
+    cfg.OUTPUT_DIR = str(tmp_path)
+    cfg.SEED = 1
+    return cfg
+
+
+def _synthetic_loader(rng, batch, n=64):
+    data = rng.random((n, 16, 16, 3)).astype(np.float32)
+
+    class L:
+        def __iter__(self):
+            idx_stream = itertools.cycle(range(0, n - batch, batch))
+            for s in idx_stream:
+                yield {"image": data[s : s + batch]}
+
+    return L()
+
+
+def test_training_reduces_loss(rng, tmp_path):
+    cfg = _cfg(tmp_path)
+    trainer = Trainer(cfg, _synthetic_loader(rng, 8), mesh=build_mesh(data=4))
+    trainer.train(0, 30)
+    hist = trainer.storage.history("loss_reconstruction").values()
+    first, last = hist[0][0], hist[-1][0]
+    assert last < first, f"loss did not decrease: {first} -> {last}"
+
+
+def test_gradient_accumulation_matches_reference_semantics(rng, tmp_path):
+    """A steps with accumulation A == applying the summed gradient once
+    (reference trainer.py:78-87 backward-accumulates then steps)."""
+    cfg1 = _cfg(tmp_path, accum=1)
+    cfg2 = _cfg(tmp_path, accum=2)
+
+    # identical data stream for both runs
+    def loader():
+        r = np.random.default_rng(3)
+        return _synthetic_loader(r, 8)
+
+    mesh = build_mesh(data=1, model=1, devices=jax.devices()[:1])
+    t2 = Trainer(cfg2, loader(), mesh=mesh)
+    p0 = jax.tree_util.tree_map(lambda x: np.asarray(x), t2.state.params)
+    t2.train(0, 2)  # one optimizer step worth (2 accumulation microsteps)
+    p2 = jax.tree_util.tree_map(lambda x: np.asarray(x), t2.state.params)
+
+    # manual: sum grads of the same two batches, single optimizer step
+    import optax
+
+    from lvt_tpu.solver import build_optimizer
+
+    model = t2.model
+    params = jax.tree_util.tree_map(jnp.asarray, p0)
+    mstate = t2.model
+    # rebuild initial state identically
+    t_ref = Trainer(cfg1, loader(), mesh=mesh)
+    params = t_ref.state.params
+    mstate = t_ref.state.model_state
+    batches = list(itertools.islice(iter(loader()), 2))
+    key = jax.device_put(jax.random.key(cfg1.SEED + 1))
+
+    def loss_and_state(p, ms, b, rng):
+        loss, (_, new_ms) = model.train_loss(p, ms, b, rng)
+        return loss, new_ms
+
+    grad_fn = jax.grad(loss_and_state, has_aux=True)
+    # microstep 0 advances the EMA codebook state (in-forward EMA update,
+    # reference vq_embedding.py:40-59), so microstep 1's gradient sees it
+    g0, ms1 = grad_fn(params, mstate,
+                      jax.tree_util.tree_map(jnp.asarray, batches[0]),
+                      jax.random.fold_in(key, 0))
+    g1, _ = grad_fn(params, ms1,
+                    jax.tree_util.tree_map(jnp.asarray, batches[1]),
+                    jax.random.fold_in(key, 1))
+    gsum = jax.tree_util.tree_map(jnp.add, g0, g1)
+    opt = build_optimizer(cfg1)
+    ost = opt.init(params)
+    upd, _ = opt.update(gsum, ost, params)
+    want = optax.apply_updates(params, upd)
+
+    flat_got = jax.tree_util.tree_leaves(p2)
+    flat_want = [np.asarray(x) for x in jax.tree_util.tree_leaves(want)]
+    for a, b in zip(flat_got, flat_want):
+        np.testing.assert_allclose(a, b, rtol=2e-4, atol=1e-6)
+
+
+def test_checkpoint_resume_restores_iteration(rng, tmp_path):
+    cfg = _cfg(tmp_path)
+    mesh = build_mesh(data=2, model=1, devices=jax.devices()[:2])
+    trainer = Trainer(cfg, _synthetic_loader(rng, 8), mesh=mesh)
+    trainer.register_hooks([PeriodicCheckpointer(cfg.OUTPUT_DIR, period=10)])
+    trainer.train(0, 10)
+
+    trainer2 = Trainer(cfg, _synthetic_loader(rng, 8), mesh=mesh)
+    start = trainer2.resume_or_load()
+    assert start == 10
+    # params actually restored
+    a = jax.tree_util.tree_leaves(trainer.state.params)[0]
+    b = jax.tree_util.tree_leaves(trainer2.state.params)[0]
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+
+def test_nan_guard(rng, tmp_path):
+    cfg = _cfg(tmp_path)
+    trainer = Trainer(cfg, _synthetic_loader(rng, 8), mesh=build_mesh(data=4))
+    trainer.metrics_period = 1
+
+    bad = {"image": np.full((8, 16, 16, 3), np.nan, np.float32)}
+
+    class BadLoader:
+        def __iter__(self):
+            while True:
+                yield bad
+
+    trainer._data_loader_iter = iter(BadLoader())
+    with pytest.raises(FloatingPointError):
+        trainer.train(0, 2)

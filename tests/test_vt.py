@@ -47,7 +47,7 @@ def _rand_video(rng, b, model):
 
 def test_loss_runs_and_is_finite(rng, tiny_model):
     m = tiny_model
-    params = m.init(jax.random.key(0))
+    params, _ = m.init(jax.random.key(0))
     batch = {"video": _rand_video(rng, 3, m)}
     loss, aux = m.loss(params, batch, jax.random.key(1))
     assert np.isfinite(float(loss))
@@ -56,7 +56,7 @@ def test_loss_runs_and_is_finite(rng, tiny_model):
 
 def test_loss_grads_nonzero(rng, tiny_model):
     m = tiny_model
-    params = m.init(jax.random.key(0))
+    params, _ = m.init(jax.random.key(0))
     batch = {"video": _rand_video(rng, 2, m)}
     g = jax.grad(lambda p: m.loss(p, batch, jax.random.key(1))[0])(params)
     total = jax.tree_util.tree_reduce(lambda a, l: a + float(jnp.abs(l).sum()), g, 0.0)
@@ -67,7 +67,7 @@ def test_decoder_is_causal_through_predictor(rng, tiny_model):
     """Changing slice codes at raster position >= p must not change logits at
     positions < p (decoder conv + masked attention + predictor factorization)."""
     m = tiny_model
-    params = m.init(jax.random.key(0))
+    params, _ = m.init(jax.random.key(0))
     b = 1
     video = _rand_video(rng, b, m)
     slice_idx = jnp.asarray([2], jnp.int32)
@@ -92,7 +92,7 @@ def test_decoder_is_causal_through_predictor(rng, tiny_model):
 def test_channel_factorization_is_causal(rng, tiny_model):
     """Channel k's logits depend only on channels < k at the same pixel."""
     m = tiny_model
-    params = m.init(jax.random.key(0))
+    params, _ = m.init(jax.random.key(0))
     video = _rand_video(rng, 1, m)
     slice_idx = jnp.asarray([1], jnp.int32)
     ctx, sl, _ = m.prepare_slices(video, slice_idx)
@@ -107,7 +107,7 @@ def test_channel_factorization_is_causal(rng, tiny_model):
 
 def test_logits_for_entire_video_covers_all_positions(rng, tiny_model):
     m = tiny_model
-    params = m.init(jax.random.key(0))
+    params, _ = m.init(jax.random.key(0))
     video = _rand_video(rng, 2, m)
     lg = m.logits_for_entire_video(params, video)
     assert lg.shape == (2, m.T, m.H, m.W, m.c.nc, m.c.nv)
@@ -118,7 +118,7 @@ def test_logits_for_entire_video_covers_all_positions(rng, tiny_model):
 
 def test_sample_video_respects_priming_and_range(rng, tiny_model):
     m = tiny_model
-    params = m.init(jax.random.key(0))
+    params, _ = m.init(jax.random.key(0))
     n_prime = 1
     video = _rand_video(rng, 2, m)
     out = m.sample_video(params, video, jax.random.key(5), n_prime=n_prime)
@@ -135,7 +135,7 @@ def test_sample_video_respects_priming_and_range(rng, tiny_model):
 
 def test_sample_video_deterministic_given_key(rng, tiny_model):
     m = tiny_model
-    params = m.init(jax.random.key(0))
+    params, _ = m.init(jax.random.key(0))
     video = _rand_video(rng, 1, m)
     o1 = np.asarray(m.sample_video(params, video, jax.random.key(7)))
     o2 = np.asarray(m.sample_video(params, video, jax.random.key(7)))
@@ -148,7 +148,7 @@ def test_dssvt_style_geometry(rng):
     """Spatial-subscale geometry: stride (1,2,2), multi-block attention."""
     cfg = _tiny_cfg(stride=(1, 2, 2), kernel=(1, 3, 3), blocks=((2, 2, 2),) * 2)
     m = VideoTransformer(cfg, T=4, H=4, W=4)
-    params = m.init(jax.random.key(0))
+    params, _ = m.init(jax.random.key(0))
     video = jnp.asarray(rng.integers(0, m.c.nv, size=(1, m.c.nc, 4, 4, 4)), jnp.int32)
     loss, _ = m.loss(params, {"video": video}, jax.random.key(1))
     assert np.isfinite(float(loss))
@@ -162,7 +162,7 @@ def test_class_conditional_path(rng):
     cfg = _tiny_cfg()
     cfg.MODEL.AUTOREGRESSIVE.VT.CLASS_NUM = 5
     m = VideoTransformer(cfg, T=4, H=4, W=4)
-    params = m.init(jax.random.key(0))
+    params, _ = m.init(jax.random.key(0))
     assert "class_embedding" in params["netG"]["encoder"]
     video = jnp.asarray(rng.integers(0, m.c.nv, size=(2, m.c.nc, 4, 4, 4)), jnp.int32)
     batch = {"video": video, "class": jnp.asarray([1, 3], jnp.int32)}
