@@ -1,0 +1,161 @@
+#!/usr/bin/env python
+"""Benchmark: end-to-end 16-frame 64x64 BAIR video generation throughput.
+
+Measures the full flagship pipeline — VQ-VAE encode of 5 priming frames ->
+DSFVT subscale AR rollout (16 slices x 256 pixels x 4 channel substeps) ->
+VQ-VAE decode — as ONE jitted program, and reports frames/sec/chip.
+
+Baseline: the same math executed the way the reference executes it
+(vidgen/modeling/meta_arch/vt.py:107-131 + videotransformer.py:240-246):
+full decoder recompute for every pixel with a host dispatch per pixel and no
+KV reuse across pixels. We measure that reference-style loop on the same
+chip (a small pixel subset, extrapolated) so vs_baseline compares algorithms
+on identical hardware; the reference's own GPU/torch numbers are unpublished
+(BASELINE.md).
+
+Prints one JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--batch", type=int, default=1)
+    parser.add_argument("--iters", type=int, default=3)
+    parser.add_argument("--baseline-pixels", type=int, default=16,
+                        help="pixels to measure for the reference-style loop")
+    parser.add_argument("--skip-baseline", action="store_true")
+    args = parser.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from lvt_tpu.config import get_cfg
+    from lvt_tpu.models.vqvae import VQVAE
+    from lvt_tpu.models.vt import VideoTransformer, vt_decode, vt_encode
+
+    root = os.path.dirname(os.path.abspath(__file__))
+
+    vt_cfg = get_cfg()
+    vt_cfg.merge_from_file(os.path.join(root, "configs", "vt", "DSFVT.yaml"))
+    vq_cfg = get_cfg()
+    vq_cfg.merge_from_file(os.path.join(root, "configs", "vqvae", "PR-DVQVAE2.yaml"))
+
+    vt = VideoTransformer(vt_cfg, T=16, H=16, W=16)
+    vt_params, _ = vt.init(jax.random.key(0))
+    vq = VQVAE(vq_cfg)
+    vq_params, vq_state = vq.init(jax.random.key(1))
+
+    B = args.batch
+    T, H, W = 16, 64, 64
+    n_prime = vt_cfg.TEST.VT_SAMPLER.N_PRIME
+    rng = np.random.default_rng(0)
+    frames = rng.random((B * n_prime, H, W, 3)).astype(np.float32)
+
+    @jax.jit
+    def generate(frames, key):
+        x = vq.normalize(frames)
+        codes = vq.encode(vq_params, vq_state, x)  # (B*n_prime, h, w, nc)
+        codes = codes.reshape(B, n_prime, 16, 16, vt.c.nc)
+        codes = jnp.transpose(codes, (0, 4, 1, 2, 3))  # (B, nc, n_prime, h, w)
+        video = jnp.zeros((B, vt.c.nc, 16, 16, 16), jnp.int32)
+        video = video.at[:, :, :n_prime].set(codes)
+        sampled = vt.sample_video(vt_params, video, key, n_prime=n_prime)
+        idx = jnp.transpose(sampled, (0, 2, 3, 4, 1)).reshape(B * 16, 16, 16, vt.c.nc)
+        out = vq.decode(vq_params, vq_state, idx)
+        return jnp.clip(vq.denormalize(out), 0.0, 1.0)
+
+    # compile + warmup
+    key = jax.random.key(7)
+    out = generate(frames, key)
+    out.block_until_ready()
+
+    times = []
+    for i in range(args.iters):
+        k = jax.random.fold_in(key, i)
+        t0 = time.perf_counter()
+        generate(frames, k).block_until_ready()
+        times.append(time.perf_counter() - t0)
+    best = min(times)
+    frames_generated = B * (T - n_prime)  # newly generated frames
+    fps = frames_generated / best
+    tokens_per_sec = B * (T - n_prime) * 16 * 16 * vt.c.nc / best
+
+    vs_baseline = None
+    if not args.skip_baseline:
+        vs_baseline = _reference_style_baseline(
+            jax, jnp, np, vt, vt_params, args.baseline_pixels, B, n_prime, fps)
+
+    result = {
+        "metric": "frames/sec/chip 16-frame 64x64 BAIR generation (end-to-end jit: VQVAE encode + DSFVT AR rollout + VQVAE decode)",
+        "value": round(fps, 3),
+        "unit": "frames/sec",
+        "vs_baseline": round(vs_baseline, 2) if vs_baseline else None,
+        "detail": {
+            "batch": B,
+            "gen_seconds_best": round(best, 3),
+            "ar_tokens_per_sec": round(tokens_per_sec, 1),
+            "backend": jax.default_backend(),
+        },
+    }
+    print(json.dumps(result))
+
+
+def _reference_style_baseline(jax, jnp, np, vt, vt_params, n_pixels, B,
+                              n_prime, our_fps):
+    """Measure the reference's execution model on the same chip: one host
+    dispatch per pixel, full decoder recompute, no cross-pixel reuse
+    (reference vt.py:123-131); extrapolate to the full video."""
+    import time as _t
+
+    from lvt_tpu.models.vt import _layer_norm, vt_decode, vt_encode, vt_sample_pixel_channels
+    from lvt_tpu.ops import subscale as ss
+
+    c = vt.c
+    t, h, w = vt.plan.slice_shape
+    thw = t * h * w
+    rng = np.random.default_rng(1)
+    video = jnp.asarray(rng.integers(0, c.nv, size=(B, c.nc, vt.T, vt.H, vt.W)),
+                        jnp.int32)
+    vflat = video.reshape(B, c.nc, -1)
+    ctx = ss.gather_context(vflat, jnp.asarray(vt.plan.ctx_src[n_prime]), c.pad_value)
+    sidx = jnp.full((B,), n_prime, jnp.int32)
+
+    encode = jax.jit(lambda ctx: vt_encode(vt_params["netG"], c, ctx, sidx))
+    zl = encode(ctx)
+    zl.block_until_ready()
+
+    def one_pixel(sl, zl, p, key):
+        yl = vt_decode(vt_params["netG"], c, sl, zl)
+        pred = vt_params["netG"]["predictor"]
+        y = _layer_norm(yl.reshape(B, thw, c.d)[:, p], pred["ln_scale"], pred["ln_bias"])
+        return vt_sample_pixel_channels(vt_params["netG"], c, y, key, 1.0)
+
+    one_pixel_j = jax.jit(one_pixel)
+    sl = ss.gather_slice(vflat, jnp.asarray(vt.plan.slice_src[n_prime]))
+    key = jax.random.key(3)
+    one_pixel_j(sl, zl, 0, key)[0].block_until_ready()  # compile
+
+    t0 = _t.perf_counter()
+    for p in range(n_pixels):
+        out = one_pixel_j(sl, zl, p, jax.random.fold_in(key, p))
+        out.block_until_ready()
+    per_pixel = (_t.perf_counter() - t0) / n_pixels
+
+    # full video: S_sampled slices x thw pixels (prime slices skipped)
+    s_total = vt.plan.num_slices - n_prime  # DSFVT: fully-primed slices skipped
+    ref_seconds = per_pixel * s_total * thw
+    ref_fps = B * (vt.T - n_prime) / ref_seconds
+    return our_fps / ref_fps
+
+
+if __name__ == "__main__":
+    main()

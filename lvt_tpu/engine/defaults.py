@@ -1,0 +1,262 @@
+"""Default CLI plumbing, setup, inference adapters, and the DefaultTrainer
+(reference: vidgen/engine/defaults.py:37-363).
+
+The inference adapters wrap each meta-arch's jitted passes into the
+``infer_fn(batch) -> list[dict]`` protocol consumed by
+evaluation.inference_on_dataset, replacing the reference's
+``model(inputs, mode='inference')`` polymorphic forward.
+"""
+
+import argparse
+import logging
+import os
+import sys
+from collections import OrderedDict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import set_global_cfg
+from ..data import build_test_loader, build_train_loader
+from ..evaluation import (
+    BitsEvaluator,
+    CodesExtractor,
+    DatasetEvaluators,
+    MSEEvaluator,
+    VTSampler,
+    inference_on_dataset,
+    print_csv_format,
+    verify_results,
+)
+from ..utils import comm
+from ..utils.env import seed_all_rng
+from ..utils.events import CommonMetricPrinter, JSONWriter, TensorboardWriter
+from ..utils.logger import setup_logger
+from .hooks import EvalHook, IterationTimer, LRSchedulerHook, PeriodicCheckpointer, PeriodicWriter
+from .trainer import Trainer
+
+logger = logging.getLogger(__name__)
+
+EVALUATOR_REGISTRY = {
+    "MSEEvaluator": MSEEvaluator,
+    "BitsEvaluator": BitsEvaluator,
+    "CodesExtractor": CodesExtractor,
+    "VTSampler": VTSampler,
+}
+
+
+def default_argument_parser():
+    """reference defaults.py:37-69 minus the GPU/dist-url machinery (JAX is
+    single-controller; multi-host init is via --multihost)."""
+    parser = argparse.ArgumentParser(description="lvt_tpu training")
+    parser.add_argument("--config-file", default="", metavar="FILE",
+                        help="path to config file")
+    parser.add_argument("--resume", action="store_true",
+                        help="resume from OUTPUT_DIR checkpoints")
+    parser.add_argument("--eval-only", action="store_true", help="evaluate only")
+    parser.add_argument("--multihost", action="store_true",
+                        help="call jax.distributed.initialize() for multi-host")
+    parser.add_argument("opts", default=None, nargs=argparse.REMAINDER,
+                        help="config overrides: KEY VALUE pairs")
+    return parser
+
+
+def default_setup(cfg, args):
+    """Logging, seeding, config dump (reference defaults.py:72-121)."""
+    output_dir = cfg.OUTPUT_DIR
+    if comm.is_main_process() and output_dir:
+        os.makedirs(output_dir, exist_ok=True)
+
+    rank = comm.get_rank()
+    setup_logger(output_dir, distributed_rank=rank, name="lvt_tpu")
+    logging.getLogger("lvt_tpu").info(
+        f"Rank of current process: {rank}. World size: {comm.get_world_size()}")
+    logging.getLogger("lvt_tpu").info(
+        f"jax {jax.__version__}, backend {jax.default_backend()}, "
+        f"{jax.device_count()} devices")
+    if hasattr(args, "config_file") and args.config_file:
+        logging.getLogger("lvt_tpu").info(f"Loaded config file {args.config_file}")
+
+    if comm.is_main_process() and output_dir:
+        path = os.path.join(output_dir, "config.yaml")
+        with open(path, "w") as f:
+            f.write(cfg.dump())
+        logging.getLogger("lvt_tpu").info(f"Full config saved to {path}")
+
+    seed = cfg.SEED
+    seed_all_rng(None if seed < 0 else seed + rank)
+    set_global_cfg(cfg)
+
+
+# --------------------------------------------------------------------------
+# Inference adapters
+# --------------------------------------------------------------------------
+
+def build_vqvae_infer_fn(cfg, model, params, state):
+    """Per-video reconstruction + latent extraction (reference
+    AutoEncoderModel.forward mode='inference', ae.py:120-147)."""
+    clamp_hi = 1.0 if cfg.INPUT.SCALE_TO_ZEROONE else 255.0
+
+    @jax.jit
+    def run(frames):  # (T, H, W, C)
+        x = model.normalize(frames)
+        recon, idx = model.reconstruct(params, state, x)
+        recon = jnp.clip(model.denormalize(recon), 0.0, clamp_hi)
+        return recon, idx
+
+    def infer(batch):
+        outputs = []
+        key = "image_sequence" if "image_sequence" in batch else "image"
+        arr = batch[key]
+        for i in range(len(arr)):
+            recon, idx = run(jnp.asarray(arr[i]))
+            outputs.append({
+                "reconstruction": np.asarray(recon),
+                # (T, h, w, nc) -> reference layout (T, nc, h, w)
+                "latent": np.transpose(np.asarray(idx), (0, 3, 1, 2)),
+            })
+        return outputs
+
+    return infer
+
+
+def build_vt_infer_fn(cfg, model, params, *, rng=None):
+    """Whole-video teacher-forced logits and/or sampling, dispatched on
+    TEST.EVALUATORS (reference VideoTransformerModel.forward
+    mode='inference', vt.py:192-206)."""
+    evaluators = cfg.TEST.EVALUATORS
+    want_logits = "BitsEvaluator" in evaluators
+    want_samples = "VTSampler" in evaluators
+    n_prime_eval = cfg.MODEL.AUTOREGRESSIVE.VT.N_PRIME
+    n_prime_sample = cfg.TEST.VT_SAMPLER.N_PRIME
+    num_samples = cfg.TEST.VT_SAMPLER.NUM_SAMPLES
+    if rng is None:
+        rng = jax.random.key(max(cfg.SEED, 0))
+    rng_holder = {"key": rng}
+
+    logits_fn = jax.jit(lambda v, cls: model.logits_for_entire_video(
+        params, v, class_idx=cls)) if want_logits else None
+
+    def _sample(v, cls, key):
+        primed = v.at[:, :, n_prime_sample:].set(0)
+        return model.sample_video(params, primed, key,
+                                  n_prime=n_prime_sample, class_idx=cls)
+
+    sample_fn = jax.jit(_sample) if want_samples else None
+
+    def infer(batch):
+        video = jnp.asarray(batch["video"])  # (b, nc, T, H, W)
+        cls = jnp.asarray(batch["class"]) if (
+            "class" in batch and model.c.class_num > 0) else None
+        b, _, T = video.shape[:3]
+        outputs = [{} for _ in range(b)]
+
+        if want_logits:
+            lg = np.asarray(logits_fn(video, cls))
+            ignore_t = np.arange(T) < n_prime_eval
+            for i in range(b):
+                outputs[i]["logits"] = lg[i]
+                outputs[i]["ignore_t"] = ignore_t
+        if want_samples:
+            samples = []
+            for _ in range(num_samples):
+                rng_holder["key"], sub = jax.random.split(rng_holder["key"])
+                samples.append(np.asarray(sample_fn(video, cls, sub)))
+            for i in range(b):
+                outputs[i]["samples"] = [s[i] for s in samples]
+        assert all(outputs), "No evaluator-compatible output produced"
+        return outputs
+
+    return infer
+
+
+def build_evaluators(cfg, dataset_name, output_dir):
+    names = [n.strip() for n in cfg.TEST.EVALUATORS.split(",") if n.strip()]
+    evs = []
+    for name in names:
+        cls = EVALUATOR_REGISTRY[name]
+        if name == "VTSampler":
+            evs.append(cls(cfg, dataset_name, distributed=True, output_dir=output_dir))
+        else:
+            evs.append(cls(dataset_name, distributed=True, output_dir=output_dir))
+    return DatasetEvaluators(evs)
+
+
+def run_test(cfg, model, params, state=None):
+    """Loop DATASETS.TEST (reference DefaultTrainer.test,
+    defaults.py:312-363)."""
+    from ..models.vqvae import VQVAE, AutoEncoder
+    from ..models.vt import VideoTransformer
+
+    results = OrderedDict()
+    for dataset_name in cfg.DATASETS.TEST:
+        loader = build_test_loader(cfg, dataset_name)
+        out_dir = os.path.join(cfg.OUTPUT_DIR, "inference")
+        evaluator = build_evaluators(cfg, dataset_name, out_dir)
+        if isinstance(model, (VQVAE, AutoEncoder)):
+            infer_fn = build_vqvae_infer_fn(cfg, model, params, state)
+        elif isinstance(model, VideoTransformer):
+            infer_fn = build_vt_infer_fn(cfg, model, params)
+        else:
+            raise TypeError(f"Cannot infer with {type(model)}")
+        r = inference_on_dataset(infer_fn, loader, evaluator)
+        results[dataset_name] = r
+        if comm.is_main_process() and r:
+            logger.info(f"Evaluation results for {dataset_name}:")
+            print_csv_format(r)
+    if len(results) == 1:
+        results = list(results.values())[0]
+    return results
+
+
+# --------------------------------------------------------------------------
+# DefaultTrainer
+# --------------------------------------------------------------------------
+
+class DefaultTrainer(Trainer):
+    """Trainer + default hooks/writers wiring (reference defaults.py:124-310)."""
+
+    def __init__(self, cfg, mesh=None):
+        loader, _ = build_train_loader(cfg)
+        super().__init__(cfg, loader, mesh=mesh)
+        self.register_hooks(self.build_hooks())
+
+    def build_writers(self):
+        out = self.cfg.OUTPUT_DIR
+        writers = [CommonMetricPrinter(self.cfg.SOLVER.MAX_ITER)]
+        if comm.is_main_process():
+            writers.append(JSONWriter(os.path.join(out, "metrics.json")))
+            try:
+                writers.append(TensorboardWriter(out))
+            except ImportError:
+                pass
+        return writers
+
+    def build_hooks(self):
+        from ..solver.build import build_lr_schedule
+
+        cfg = self.cfg
+        hooks = [
+            IterationTimer(),
+            LRSchedulerHook(cfg.SOLVER.LR_G, build_lr_schedule(cfg)),
+        ]
+        if comm.is_main_process():
+            hooks.append(PeriodicCheckpointer(cfg.OUTPUT_DIR,
+                                              cfg.SOLVER.CHECKPOINT_PERIOD))
+        if cfg.TEST.EVAL_PERIOD > 0:
+            def eval_fn():
+                return run_test(cfg, self.model, self.state.params,
+                                self.state.model_state)
+
+            hooks.append(EvalHook(cfg.TEST.EVAL_PERIOD, eval_fn))
+        if comm.is_main_process():
+            hooks.append(PeriodicWriter(self.build_writers()))
+        return hooks
+
+    def test(self):
+        results = run_test(self.cfg, self.model, self.state.params,
+                           self.state.model_state)
+        if comm.is_main_process():
+            verify_results(self.cfg, results)
+        return results

@@ -1,0 +1,18 @@
+from .codes_extractor import CodesExtractor
+from .evaluator import DatasetEvaluator, DatasetEvaluators, inference_on_dataset
+from .metrics import BitsEvaluator, MSEEvaluator
+from .testing import flatten_results_dict, print_csv_format, verify_results
+from .vt_sampler import VTSampler
+
+__all__ = [
+    "BitsEvaluator",
+    "CodesExtractor",
+    "DatasetEvaluator",
+    "DatasetEvaluators",
+    "MSEEvaluator",
+    "VTSampler",
+    "flatten_results_dict",
+    "inference_on_dataset",
+    "print_csv_format",
+    "verify_results",
+]

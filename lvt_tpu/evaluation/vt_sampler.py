@@ -1,0 +1,113 @@
+"""VTSampler: decode sampled code videos with the paired VQ-VAE and dump
+codes + png frames (reference: vidgen/evaluation/vt_sampler.py:18-89).
+
+Output layout preserved:
+<output_dir>/samples/<dataset>/video_<sample_idx>_<video_idx>/{codes.npy, <i>.png}
+"""
+
+import logging
+import os
+import time
+from collections import OrderedDict
+
+import jax
+import numpy as np
+
+from ..config import get_cfg
+from ..utils import comm
+from ..utils.image import save_image
+from .evaluator import DatasetEvaluator
+
+logger = logging.getLogger(__name__)
+
+
+def load_paired_vqvae(cfg):
+    """Build the VQ-VAE named in TEST.VT_SAMPLER.VQ_VAE and graft its
+    weights (.pth via the torch converter, or an orbax checkpoint dir)."""
+    from ..models.vqvae import VQVAE
+
+    vq_cfg = get_cfg()
+    vq_cfg.merge_from_file(cfg.TEST.VT_SAMPLER.VQ_VAE.CFG)
+    model = VQVAE(vq_cfg)
+    params, state = model.init(jax.random.key(0))
+
+    enc = cfg.TEST.VT_SAMPLER.VQ_VAE.ENCODER_WEIGHTS
+    gen = cfg.TEST.VT_SAMPLER.VQ_VAE.GENERATOR_WEIGHTS
+    cb = cfg.TEST.VT_SAMPLER.VQ_VAE.CODEBOOK_WEIGHTS
+    params, state = load_vqvae_weights(model, params, state, enc, gen, cb)
+    return model, params, state, vq_cfg
+
+
+def load_vqvae_weights(model, params, state, enc_path, gen_path, cb_path):
+    """Graft per-subnet weights from reference .pth files or a full orbax
+    checkpoint directory (any of the three paths may point at it)."""
+    from ..checkpoint.orbax_io import load_checkpoint
+    from ..checkpoint.torch_convert import load_pretrained_vqvae
+
+    for p in (enc_path, gen_path, cb_path):
+        if p and os.path.isdir(p):
+            tree = load_checkpoint(p, {"params": params, "model_state": state,
+                                       "step": 0})
+            return tree["params"], tree["model_state"]
+
+    return load_pretrained_vqvae(
+        model, params, state,
+        encoder_path=enc_path if enc_path and os.path.exists(enc_path) else "",
+        generator_path=gen_path if gen_path and os.path.exists(gen_path) else "",
+        codebook_path=cb_path if cb_path and os.path.exists(cb_path) else "",
+    )
+
+
+class VTSampler(DatasetEvaluator):
+    def __init__(self, cfg, dataset_name, distributed=True, output_dir=None):
+        self._dataset_name = dataset_name
+        self._distributed = distributed
+        self._output_dir = output_dir
+
+        self.vqvae, self._vq_params, self._vq_state, vq_cfg = load_paired_vqvae(cfg)
+        self.scale_to_zeroone = vq_cfg.INPUT.SCALE_TO_ZEROONE
+        self._decode = jax.jit(
+            lambda idx: self.vqvae.decode(self._vq_params, self._vq_state, idx))
+
+    def _decode_codes(self, codes):
+        """(T, nc, h, w) int codes -> (T, H, W, 3) uint8 frames."""
+        idx = np.transpose(codes, (0, 2, 3, 1))  # (T, h, w, nc)
+        frames = self._decode(idx)
+        frames = self.vqvae.denormalize(frames)
+        frames = np.asarray(frames)
+        if self.scale_to_zeroone:
+            frames = frames * 255.0
+        return np.clip(frames, 0.0, 255.0).astype(np.uint8)
+
+    def process(self, inputs, outputs):
+        for inp, out in zip(inputs, outputs):
+            samples = out["samples"]  # list of (nc, T, h, w) code arrays
+            v_idx = inp["video_idx"]
+            for sample_idx, sample in enumerate(samples):
+                sample = np.asarray(sample)
+                if sample.ndim == 3:
+                    sample = sample[None]
+                code = sample  # (nc, T, h, w)
+                video = self._decode_codes(np.transpose(sample, (1, 0, 2, 3)))
+
+                video_dir = os.path.join(self._output_dir, "samples",
+                                         self._dataset_name,
+                                         f"video_{sample_idx}_{v_idx}")
+                os.makedirs(video_dir, exist_ok=True)
+                np.save(os.path.join(video_dir, "codes.npy"), code)
+                for frame_idx in range(len(video)):
+                    frame_path = os.path.join(video_dir, f"{frame_idx}.png")
+                    for attempt in range(10):  # flaky-FS retry (vt_sampler.py:74-81)
+                        try:
+                            save_image(video[frame_idx], frame_path)
+                            break
+                        except OSError:
+                            logger.warning(f"save retry #{attempt} for {frame_path}")
+                            time.sleep(3)
+
+    def evaluate(self):
+        if self._distributed:
+            comm.synchronize()
+            if not comm.is_main_process():
+                return None
+        return OrderedDict({"samples": {}})
