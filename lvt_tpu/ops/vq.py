@@ -87,43 +87,49 @@ def nearest_indices_xla(z: jnp.ndarray, codebook: jnp.ndarray) -> jnp.ndarray:
 def nearest_indices_pallas(z: jnp.ndarray, codebook: jnp.ndarray, *, interpret: bool = False) -> jnp.ndarray:
     """Pallas TPU kernel: fused distance + argmin, distances stay in VMEM.
 
-    z: (N, Dc), codebook: (K, Dc); N is padded to the tile size by the caller
-    wrapper below.
+    z: (N, Dc), codebook: (K, Dc). Mosaic notes (found the hard way on v5e):
+    keep every intermediate 2-D (1-D (K,) temporaries crash the compiler),
+    express argmin as min + masked-iota-min (ties -> lowest index, same as
+    torch.min), and write a lane-broadcast (TILE, 128) int32 output — narrow
+    int outputs fail XLA/Mosaic layout verification.
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    N, Dc = z.shape
+    N0, Dc = z.shape
     K = codebook.shape[0]
-    TILE_N = min(512, N) if N % 512 == 0 or N < 512 else 256
-    while N % TILE_N != 0:
-        TILE_N //= 2
-    TILE_N = max(TILE_N, 1)
+    TILE_N = 256
+    N = ((N0 + TILE_N - 1) // TILE_N) * TILE_N
+    if N != N0:
+        z = jnp.pad(z, ((0, N - N0), (0, 0)))
 
     def kernel(z_ref, cb_ref, idx_ref):
         zf = z_ref[:].astype(jnp.float32)
         cb = cb_ref[:].astype(jnp.float32)
-        c_sqr = jnp.sum(cb * cb, axis=1)  # (K,)
+        z_sqr = jnp.sum(zf * zf, axis=1, keepdims=True)  # (TILE, 1)
+        c_sqr = jnp.sum(cb * cb, axis=1, keepdims=True)  # (K, 1)
         cross = jax.lax.dot_general(
             zf, cb, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # (TILE_N, K)
-        # ||z||^2 is constant per row: it never changes the argmin, skip it.
-        dist = c_sqr[None, :] - 2.0 * cross
-        idx_ref[:] = jnp.argmin(dist, axis=1).astype(jnp.int32)
+        dist = z_sqr + c_sqr.T - 2.0 * cross
+        m = jnp.min(dist, axis=1, keepdims=True)
+        ids = jax.lax.broadcasted_iota(jnp.int32, dist.shape, 1)
+        idx = jnp.min(jnp.where(dist <= m, ids, K), axis=1, keepdims=True)
+        idx_ref[:] = jnp.broadcast_to(idx, (idx.shape[0], 128))
 
-    grid = (N // TILE_N,)
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
-        grid=grid,
+        grid=(N // TILE_N,),
         in_specs=[
             pl.BlockSpec((TILE_N, Dc), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((K, Dc), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((TILE_N,), lambda i: (i,), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((N,), jnp.int32),
+        out_specs=pl.BlockSpec((TILE_N, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((N, 128), jnp.int32),
         interpret=interpret,
     )(z, codebook)
+    return out[:N0, 0]
 
 
 def nearest_indices(z: jnp.ndarray, codebook: jnp.ndarray, *, use_pallas: Optional[bool] = None) -> jnp.ndarray:
@@ -229,8 +235,14 @@ def quantize_st(
 
 
 def encode_indices(z_e: jnp.ndarray, state: EmaCodebookState,
-                   *, use_pallas: Optional[bool] = None) -> jnp.ndarray:
-    """(..., D) -> (..., num) int32 codebook indices (reference mode="")."""
+                   *, use_pallas: Optional[bool] = False) -> jnp.ndarray:
+    """(..., D) -> (..., num) int32 codebook indices (reference mode="").
+
+    Defaults to the fp32 HIGHEST-precision XLA path: this is the
+    CodesExtractor / eval path where index bit-parity matters more than the
+    (tiny) speed difference; the Pallas kernel's MXU matmul rounds near-ties
+    differently.
+    """
     num, K, Dc = state.embedding.shape
     lead = z_e.shape[:-1]
     z = z_e.reshape(-1, num, Dc)
