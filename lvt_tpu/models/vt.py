@@ -378,11 +378,15 @@ class VideoTransformer:
 
     # -- sampling ------------------------------------------------------------
     def sample_video(self, params, video, key, *, temp: float = 1.0,
-                     n_prime: Optional[int] = None, class_idx=None):
+                     n_prime: Optional[int] = None, class_idx=None,
+                     incremental: bool = True, greedy: bool = False):
         """AR-sample all non-primed positions (reference sample_video,
         vt.py:82-136) as a scan over slices x pixels, jit-compatible.
 
         video: (b, nc, T, H, W) with primed frames filled, others arbitrary.
+        incremental=True uses the KV-cached decoder (exact, ~thw x less
+        compute per pixel); False re-runs the full decoder per pixel — the
+        reference's formulation, kept as the verification/baseline path.
         """
         if n_prime is None:
             n_prime = self.c.n_prime
@@ -407,7 +411,14 @@ class VideoTransformer:
                 sidx = jnp.full((b,), s, jnp.int32)
                 zl = vt_encode(params["netG"], c, ctx, sidx, class_idx,
                                use_pallas=self.use_pallas)
-                return self._sample_slice_pixels(params, zl, sl, key, primed, temp)
+                if incremental:
+                    from .vt_incremental import sample_slice_incremental
+
+                    return sample_slice_incremental(
+                        params["netG"], c, self.plan.slice_shape, zl, sl, key,
+                        primed, temp, greedy=greedy)
+                return self._sample_slice_pixels(params, zl, sl, key, primed,
+                                                 temp, greedy=greedy)
 
             # fully-primed slices (e.g. the first n_prime DSFVT frames) are
             # skipped wholesale — the reference skips per-pixel (vt.py:126-127)
@@ -418,7 +429,8 @@ class VideoTransformer:
         (vflat, _), _ = jax.lax.scan(sample_slice, (vflat, key), jnp.arange(S))
         return vflat.reshape(b, nc, self.T, self.H, self.W)
 
-    def _sample_slice_pixels(self, params, zl, sl, key, primed, temp):
+    def _sample_slice_pixels(self, params, zl, sl, key, primed, temp,
+                             greedy=False):
         """Scan raster positions of one slice, sampling each pixel's nc
         channels with the full decoder context (exact AR factorization)."""
         c = self.c
@@ -435,7 +447,7 @@ class VideoTransformer:
             y_pix = _layer_norm(y_flat[:, p], pred["ln_scale"], pred["ln_bias"])
             key, sub = jax.random.split(key)
             new_codes = vt_sample_pixel_channels(params["netG"], c, y_pix,
-                                                 sub, temp)  # (b, nc)
+                                                 sub, temp, greedy=greedy)  # (b, nc)
             sl_flat = sl_codes.reshape(b, nc, thw)
             old = sl_flat[:, :, p]
             val = jnp.where(primed[p], old, new_codes)

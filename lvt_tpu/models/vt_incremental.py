@@ -1,0 +1,217 @@
+"""Incremental (KV-cached) subscale decoder for AR sampling.
+
+The reference re-runs the FULL decoder stack over the whole slice for every
+pixel (videotransformer.py:243 — O(thw) decoder work per pixel, O(thw^2)
+per slice). Because every decoder component is strictly causal in raster
+order — the causal conv's unmasked taps all read positions < p, masked
+block-local attention attends to positions <= p, FFN/LN are per-token —
+position p's activations never change once computed. So we cache them:
+
+* ``emb``      — summed channel embeddings of the *final* codes (primed or
+                 sampled), consumed by the causal conv of later pixels;
+* per layer    — K/V caches (b, na, thw, da) appended at p before attending
+                 (p attends to itself, matching the diagonal-keeping mask);
+* per slice    — zl projection and (bias + block-structure) logit masks are
+                 precomputed once.
+
+Per-pixel cost drops from O(thw * layers * d^2) to O(layers * d^2): ~250x
+less compute for DSFVT. Exactness is tested against the teacher-forced
+decoder (test_vt_incremental.py).
+"""
+
+from functools import lru_cache
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.attention import BlockAttnParams, relative_bias
+from ..ops.posenc import _signal_np
+from .vt import VTConfig, _layer_norm, vt_sample_pixel_channels
+
+
+# --------------------------------------------------------------------------
+# Static tables
+# --------------------------------------------------------------------------
+
+@lru_cache(maxsize=16)
+def conv_tap_table(slice_shape: Tuple[int, int, int],
+                   kernel: Tuple[int, int, int] = (3, 3, 3)):
+    """For each flat raster position p of the (t, h, w) slice grid, the flat
+    indices read by the causal masked conv (ops.conv.masked_conv3d semantics:
+    pad (kt-1,0)/(kh-1,0)/centered w; taps (kt-1,kh-1,>=kw//2) masked).
+
+    Returns (nbr (thw, K'), tap_ids (K',)) with nbr = -1 for out-of-bounds;
+    K' = number of unmasked taps; tap_ids index into the flattened kernel.
+    """
+    t, h, w = slice_shape
+    kt, kh, kw = kernel
+    taps = []
+    for kti in range(kt):
+        for khi in range(kh):
+            for kwi in range(kw):
+                dt = kti - (kt - 1)
+                dh = khi - (kh - 1)
+                dw = kwi - kw // 2
+                if dt == 0 and dh == 0 and dw >= 0:
+                    continue  # causally masked taps
+                taps.append((kti * kh * kw + khi * kw + kwi, dt, dh, dw))
+
+    thw = t * h * w
+    nbr = np.full((thw, len(taps)), -1, np.int32)
+    for p in range(thw):
+        ti, rem = divmod(p, h * w)
+        hi, wi = divmod(rem, w)
+        for j, (_, dt, dh, dw) in enumerate(taps):
+            a, b, c = ti + dt, hi + dh, wi + dw
+            if 0 <= a < t and 0 <= b < h and 0 <= c < w:
+                nbr[p, j] = (a * h + b) * w + c
+    tap_ids = np.asarray([tp[0] for tp in taps], np.int32)
+    return nbr, tap_ids
+
+
+@lru_cache(maxsize=16)
+def block_structure(slice_shape: Tuple[int, int, int],
+                    block: Tuple[int, int, int]):
+    """(block_id (thw,), rel_idx (thw,)): which attention block each raster
+    position belongs to and its index within the block (contiguous-tile
+    partition, ops.attention.split_blocks order)."""
+    t, h, w = slice_shape
+    bt, bh, bw = block
+    thw = t * h * w
+    block_id = np.empty(thw, np.int32)
+    rel_idx = np.empty(thw, np.int32)
+    nbh, nbw = h // bh, w // bw
+    for p in range(thw):
+        ti, rem = divmod(p, h * w)
+        hi, wi = divmod(rem, w)
+        bid = ((ti // bt) * nbh + hi // bh) * nbw + wi // bw
+        rid = ((ti % bt) * bh + hi % bh) * bw + wi % bw
+        block_id[p] = bid
+        rel_idx[p] = rid
+    return block_id, rel_idx
+
+
+@lru_cache(maxsize=16)
+def posenc_rows(slice_shape: Tuple[int, int, int], d: int) -> np.ndarray:
+    """(thw, d) positional-encoding table in raster order."""
+    sig = _signal_np(tuple(slice_shape), d)
+    return sig.reshape(-1, d)
+
+
+def layer_logit_bias(p: BlockAttnParams, slice_shape, block) -> jnp.ndarray:
+    """(na, thw, thw) additive attention-logit bias: the decomposed relative
+    bias within blocks, -1e9 across blocks (cross-block positions get zero
+    weight, reproducing block-local attention exactly)."""
+    bid, rel = block_structure(tuple(slice_shape), tuple(block))
+    B = relative_bias(p.dt_bank, p.dh_bank, p.dw_bank, tuple(block))  # (na, n_b, n_b)
+    rel_j = jnp.asarray(rel)
+    full = B[:, rel_j][:, :, rel_j]  # (na, thw, thw)
+    same = jnp.asarray(bid)[:, None] == jnp.asarray(bid)[None, :]
+    return jnp.where(same[None], full, jnp.float32(-1e9))
+
+
+# --------------------------------------------------------------------------
+# Incremental rollout
+# --------------------------------------------------------------------------
+
+class SliceCarry(NamedTuple):
+    sl: jnp.ndarray  # (b, nc, thw) current codes
+    emb: jnp.ndarray  # (b, thw, de) summed channel embeddings of final codes
+    kcaches: Tuple[jnp.ndarray, ...]  # per layer (b, na, thw, da)
+    vcaches: Tuple[jnp.ndarray, ...]
+    key: jnp.ndarray
+
+
+def _embed_sum_codes(dec, c: VTConfig, codes):
+    """codes (..., nc) -> (..., de)."""
+    out = 0.0
+    for k in range(c.nc):
+        out = out + jnp.take(dec["ch_embed"][k], codes[..., k], axis=0)
+    return out
+
+
+def sample_slice_incremental(params, c: VTConfig, slice_shape, zl, sl, key,
+                             primed, temp, greedy: bool = False):
+    """Exact AR sampling of one slice with cached decoder state.
+
+    params: the netG tree; zl: (b, t, h, w, d) encoder output;
+    sl: (b, nc, t, h, w) initial codes (primed positions already correct);
+    primed: (thw,) bool. Returns (sl, key) like
+    VideoTransformer._sample_slice_pixels.
+    """
+    dec = params["decoder"]
+    pred = params["predictor"]
+    t, h, w = slice_shape
+    thw = t * h * w
+    b, nc = sl.shape[:2]
+    na, _, da = dec["layers"][0].wq.shape
+    L = len(dec["layers"])
+
+    nbr_np, tap_ids_np = conv_tap_table((t, h, w))
+    nbr = jnp.asarray(nbr_np)  # (thw, K')
+    # conv weight rows for the unmasked taps: (K', de, d)
+    conv_w = dec["conv_w"].reshape(-1, c.de, c.d)[jnp.asarray(tap_ids_np)]
+    pos_rows = jnp.asarray(posenc_rows((t, h, w), c.d))  # (thw, d)
+
+    zlproj = (zl @ dec["projector"]).reshape(b, thw, c.d)
+    biasmasks = [
+        layer_logit_bias(lp, (t, h, w), blk)
+        for lp, blk in zip(dec["layers"], c.blocks_d)
+    ]
+    pos_iota = jnp.arange(thw)
+
+    sl_flat = sl.reshape(b, nc, thw)
+    emb0 = _embed_sum_codes(dec, c, jnp.moveaxis(sl_flat, 1, -1))  # (b, thw, de)
+    carry = SliceCarry(
+        sl=sl_flat,
+        emb=emb0,
+        kcaches=tuple(jnp.zeros((b, na, thw, da)) for _ in range(L)),
+        vcaches=tuple(jnp.zeros((b, na, thw, da)) for _ in range(L)),
+        key=key,
+    )
+
+    def pixel_step(carry: SliceCarry, p):
+        # causal conv at p: gather unmasked-tap neighbors (all strictly < p)
+        rows = carry.emb[:, nbr[p]]  # (b, K', de); nbr -1 wraps to last row
+        valid = (nbr[p] >= 0).astype(rows.dtype)[None, :, None]
+        x = jnp.einsum("bke,ked->bd", rows * valid, conv_w) + dec["conv_b"]
+        x = x + pos_rows[p] + zlproj[:, p]
+
+        new_k, new_v = [], []
+        for l in range(L):
+            lp: BlockAttnParams = dec["layers"][l]
+            y = _layer_norm(x, lp.ln_scale, lp.ln_bias)
+            q = jnp.einsum("bd,adk->bak", y, lp.wq)
+            kk = jnp.einsum("bd,adk->bak", y, lp.wk)
+            vv = jnp.einsum("bd,adk->bak", y, lp.wv)
+            kc = carry.kcaches[l].at[:, :, p].set(kk)
+            vc = carry.vcaches[l].at[:, :, p].set(vv)
+            new_k.append(kc)
+            new_v.append(vc)
+
+            logits = jnp.einsum("bak,bajk->baj", q, kc) / np.sqrt(da)
+            logits = logits + biasmasks[l][:, p][None]  # (b, na, thw)
+            logits = jnp.where(pos_iota[None, None] > p, jnp.float32(-1e9), logits)
+            wgt = jax.nn.softmax(logits, axis=-1)
+            out = jnp.einsum("baj,bajk->bak", wgt, vc).reshape(b, na * da)
+            x = out @ lp.proj + x
+            # FFN at p
+            yf = _layer_norm(x, lp.ffn_ln_scale, lp.ffn_ln_bias)
+            yf = jax.nn.relu(yf @ lp.ffn_w1 + lp.ffn_b1)
+            x = yf @ lp.ffn_w2 + lp.ffn_b2 + x
+
+        y_pix = _layer_norm(x, pred["ln_scale"], pred["ln_bias"])
+        key, sub = jax.random.split(carry.key)
+        sampled = vt_sample_pixel_channels(params, c, y_pix, sub, temp,
+                                           greedy=greedy)  # (b, nc)
+        old = carry.sl[:, :, p]
+        final = jnp.where(primed[p], old, sampled)
+        sl_new = carry.sl.at[:, :, p].set(final)
+        emb_new = carry.emb.at[:, p].set(
+            _embed_sum_codes(dec, c, jnp.moveaxis(final, 1, -1)))
+        return SliceCarry(sl_new, emb_new, tuple(new_k), tuple(new_v), key), None
+
+    carry, _ = jax.lax.scan(pixel_step, carry, jnp.arange(thw))
+    return carry.sl.reshape(b, nc, t, h, w), carry.key

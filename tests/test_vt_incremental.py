@@ -1,0 +1,128 @@
+"""Exactness tests for the KV-cached incremental decoder: it must reproduce
+the full-recompute (reference-formulation) sampler bit-for-bit in greedy mode
+and match teacher-forced decoder activations."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lvt_tpu.config import get_cfg
+from lvt_tpu.models.vt import VideoTransformer, vt_decode, vt_encode
+from lvt_tpu.models import vt_incremental as vti
+from lvt_tpu.ops import subscale as ssub
+
+
+def _cfg(stride, kernel, blocks, nc=2, nv=8):
+    cfg = get_cfg()
+    cfg.MODEL.META_ARCHITECTURE = "VideoTransformerModel"
+    cfg.MODEL.AUTOREGRESSIVE.NAME = "VideoTransformer"
+    v = cfg.MODEL.AUTOREGRESSIVE.VT
+    v.NC, v.NV = nc, nv
+    v.KERNEL, v.STRIDE = kernel, stride
+    v.D, v.DA, v.DE = 32, 16, 16
+    v.BLOCKS_E = blocks
+    v.N_HEAD_E = (2,) * len(blocks)
+    v.BLOCKS_D = blocks
+    v.N_HEAD_D = (2,) * len(blocks)
+    v.N_PRIME = 1
+    v.SHARE_P = False
+    return cfg
+
+
+CASES = [
+    # DSFVT-like: full-slice blocks, frame slices
+    ((4, 1, 1), (3, 1, 1), ((1, 4, 4),) * 2, (4, 4, 4)),
+    # DSSVT-like: spatial subscale, multi-block attention
+    ((1, 2, 2), (1, 3, 3), ((2, 2, 2),) * 2, (4, 4, 4)),
+    # DSTSVT-like
+    ((2, 2, 2), (3, 3, 3), ((2, 2, 2),) * 2, (4, 4, 4)),
+]
+
+
+@pytest.mark.parametrize("stride,kernel,blocks,THW", CASES)
+def test_incremental_equals_full_recompute_greedy(rng, stride, kernel, blocks, THW):
+    cfg = _cfg(stride, kernel, blocks)
+    m = VideoTransformer(cfg, T=THW[0], H=THW[1], W=THW[2])
+    params, _ = m.init(jax.random.key(0))
+    video = jnp.asarray(
+        rng.integers(0, m.c.nv, size=(2, m.c.nc, *THW)), jnp.int32)
+
+    key = jax.random.key(11)
+    full = m.sample_video(params, video, key, n_prime=1, incremental=False,
+                          greedy=True)
+    inc = m.sample_video(params, video, key, n_prime=1, incremental=True,
+                         greedy=True)
+    np.testing.assert_array_equal(np.asarray(full), np.asarray(inc))
+
+
+def test_incremental_matches_teacher_forced_activations(rng):
+    """Force the incremental rollout through fixed target codes (prime all
+    positions) and compare each pixel's decoder output against the
+    teacher-forced vt_decode."""
+    stride, kernel, blocks, THW = CASES[1]
+    cfg = _cfg(stride, kernel, blocks)
+    m = VideoTransformer(cfg, T=THW[0], H=THW[1], W=THW[2])
+    params, _ = m.init(jax.random.key(3))
+    c = m.c
+    t, h, w = m.plan.slice_shape
+    thw = t * h * w
+
+    video = jnp.asarray(rng.integers(0, c.nv, size=(1, c.nc, *THW)), jnp.int32)
+    s = 2
+    vflat = video.reshape(1, c.nc, -1)
+    ctx = ssub.gather_context(vflat, jnp.asarray(m.plan.ctx_src[s]), c.pad_value)
+    sl = ssub.gather_slice(vflat, jnp.asarray(m.plan.slice_src[s]))
+    sidx = jnp.asarray([s], jnp.int32)
+    zl = vt_encode(params["netG"], c, ctx, sidx, use_pallas=False)
+
+    # all positions primed -> rollout must just reproduce activations of sl
+    primed = jnp.ones((thw,), bool)
+    out, _ = vti.sample_slice_incremental(
+        params["netG"], c, (t, h, w), zl, sl, jax.random.key(0), primed, 1.0)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(sl))
+
+    # teacher-forced logits vs incremental logits: compare channel-0 logits
+    # derived from yl at every position
+    yl = vt_decode(params["netG"], c, sl, zl, use_pallas=False)
+
+    # reconstruct incremental yl by running a probe: reuse internals by
+    # sampling greedily with all-primed and capturing equality of the
+    # predictor outputs through logits comparison instead:
+    from lvt_tpu.models.vt import vt_logits
+
+    lg_ref = vt_logits(params["netG"], c, ctx, sl, sidx, use_pallas=False)
+
+    # An independent incremental check of logits: greedy-sample with only
+    # position 0 unprimed, for each position p in turn; the sampled value at
+    # p must equal argmax of the teacher-forced channel factorization.
+    # (cheap version: check p=0 and p=thw//2)
+    for p in [0, thw // 2, thw - 1]:
+        primed_p = jnp.ones((thw,), bool).at[p].set(False)
+        out_p, _ = vti.sample_slice_incremental(
+            params["netG"], c, (t, h, w), zl, sl, jax.random.key(0),
+            primed_p, 1.0, greedy=True)
+        out_p = np.asarray(out_p).reshape(1, c.nc, thw)
+        # channel 0 greedy = argmax of teacher-forced channel-0 logits at p
+        want0 = int(np.asarray(lg_ref).reshape(1, thw, c.nc, c.nv)[0, p, 0].argmax())
+        assert out_p[0, 0, p] == want0
+
+
+def test_conv_tap_table_strictly_past():
+    nbr, tap_ids = vti.conv_tap_table((2, 4, 4))
+    thw = 32
+    for p in range(thw):
+        for j in nbr[p]:
+            if j >= 0:
+                assert j < p or j < p, f"tap at {j} not strictly before {p}"
+                assert j < p
+
+
+def test_block_structure_roundtrip():
+    bid, rel = vti.block_structure((4, 4, 4), (2, 2, 2))
+    assert bid.shape == (64,)
+    # 8 blocks of 8 positions each
+    assert len(np.unique(bid)) == 8
+    for bb in range(8):
+        assert (bid == bb).sum() == 8
+        assert sorted(rel[bid == bb]) == list(range(8))
