@@ -27,8 +27,12 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 def main():
     parser = argparse.ArgumentParser()
-    parser.add_argument("--batch", type=int, default=1)
+    parser.add_argument("--batch", type=int, default=8)
     parser.add_argument("--iters", type=int, default=3)
+    parser.add_argument("--dtype", default="bfloat16", choices=["bfloat16", "float32"],
+                        help="sampling weight/activation dtype (softmax/logits stay fp32)")
+    parser.add_argument("--full-recompute", action="store_true",
+                        help="disable the KV-cached decoder (reference formulation)")
     parser.add_argument("--baseline-pixels", type=int, default=16,
                         help="pixels to measure for the reference-style loop")
     parser.add_argument("--skip-baseline", action="store_true")
@@ -39,6 +43,7 @@ def main():
     import numpy as np
 
     from lvt_tpu.config import get_cfg
+    from lvt_tpu.models import cast_floats
     from lvt_tpu.models.vqvae import VQVAE
     from lvt_tpu.models.vt import VideoTransformer, vt_decode, vt_encode
 
@@ -53,6 +58,8 @@ def main():
     vt_params, _ = vt.init(jax.random.key(0))
     vq = VQVAE(vq_cfg)
     vq_params, vq_state = vq.init(jax.random.key(1))
+    if args.dtype == "bfloat16":
+        vt_params = cast_floats(vt_params, jnp.bfloat16)
 
     B = args.batch
     T, H, W = 16, 64, 64
@@ -68,7 +75,8 @@ def main():
         codes = jnp.transpose(codes, (0, 4, 1, 2, 3))  # (B, nc, n_prime, h, w)
         video = jnp.zeros((B, vt.c.nc, 16, 16, 16), jnp.int32)
         video = video.at[:, :, :n_prime].set(codes)
-        sampled = vt.sample_video(vt_params, video, key, n_prime=n_prime)
+        sampled = vt.sample_video(vt_params, video, key, n_prime=n_prime,
+                                  incremental=not args.full_recompute)
         idx = jnp.transpose(sampled, (0, 2, 3, 4, 1)).reshape(B * 16, 16, 16, vt.c.nc)
         out = vq.decode(vq_params, vq_state, idx)
         return jnp.clip(vq.denormalize(out), 0.0, 1.0)
@@ -103,6 +111,8 @@ def main():
             "batch": B,
             "gen_seconds_best": round(best, 3),
             "ar_tokens_per_sec": round(tokens_per_sec, 1),
+            "dtype": args.dtype,
+            "sampler": "full_recompute" if args.full_recompute else "kv_cache",
             "backend": jax.default_backend(),
         },
     }

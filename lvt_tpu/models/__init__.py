@@ -29,6 +29,15 @@ def param_count(params) -> int:
     return sum(int(x.size) for x in jax.tree_util.tree_leaves(params))
 
 
+def cast_floats(tree, dtype):
+    """Cast floating leaves (bf16 inference weights); ints/bools untouched."""
+    import jax.numpy as jnp
+
+    return jax.tree_util.tree_map(
+        lambda x: x.astype(dtype) if jnp.issubdtype(x.dtype, jnp.floating) else x,
+        tree)
+
+
 __all__ = [
     "AUTOREGRESSIVE_REGISTRY",
     "ENCODER_REGISTRY",

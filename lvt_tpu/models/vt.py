@@ -140,9 +140,12 @@ def init_vt_params(key, c: VTConfig) -> Dict[str, Any]:
 # --------------------------------------------------------------------------
 
 def _layer_norm(x, scale, bias, eps=1e-5):
-    mean = jnp.mean(x, axis=-1, keepdims=True)
-    var = jnp.var(x, axis=-1, keepdims=True)
-    return (x - mean) * jax.lax.rsqrt(var + eps) * scale + bias
+    # stats in fp32 (bf16 params/activations keep LN stable), output in x.dtype
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.var(x32, axis=-1, keepdims=True)
+    y = (x32 - mean) * jax.lax.rsqrt(var + eps)
+    return (y * scale.astype(jnp.float32) + bias.astype(jnp.float32)).astype(x.dtype)
 
 
 def vt_encode(params, c: VTConfig, ctx, slice_idx, class_idx=None, *,
@@ -203,6 +206,19 @@ def _predictor_head(pred, c: VTConfig, k: int, u, dec_params):
     return r @ pred["P_w"][k] + pred["P_b"][k]
 
 
+def _predictor_u(pred, c: VTConfig, k: int, y, codes):
+    """u_k = U_k([y; onehot(codes_<k)]) computed without the one-hot: the
+    one-hot block of U_k is a row gather (codes: (..., nc) int; only
+    channels < k are read). Exact rewrite of videotransformer.py:149."""
+    w = pred["U_w"][k]  # (d + k*nv, d)
+    d = y.shape[-1]
+    nv = c.nv
+    u = y @ w[:d] + pred["U_b"][k]
+    for j in range(k):
+        u = u + jnp.take(w[d + j * nv : d + (j + 1) * nv], codes[..., j], axis=0)
+    return u
+
+
 def vt_logits(params, c: VTConfig, ctx, slice_codes, slice_idx, class_idx=None,
               *, use_pallas=None, remat=False):
     """Teacher-forced logits for all positions/channels.
@@ -216,18 +232,10 @@ def vt_logits(params, c: VTConfig, ctx, slice_codes, slice_idx, class_idx=None,
     pred = params["predictor"]
     y = _layer_norm(yl, pred["ln_scale"], pred["ln_bias"])
 
-    b = slice_codes.shape[0]
-    thw_shape = slice_codes.shape[2:]
-    onehots = jax.nn.one_hot(slice_codes, c.nv, dtype=y.dtype)  # (b, nc, t,h,w, nv)
+    codes = jnp.moveaxis(slice_codes, 1, -1)  # (b, t, h, w, nc)
     outs = []
-    prev = y
-    feats = y
     for k in range(c.nc):
-        if k > 0:
-            oh = jnp.moveaxis(onehots[:, :k], 1, -2)  # (b, t,h,w, k, nv)
-            oh = oh.reshape(oh.shape[:-2] + (k * c.nv,))
-            feats = jnp.concatenate([y, oh], axis=-1)
-        u = feats @ params["predictor"]["U_w"][k] + params["predictor"]["U_b"][k]
+        u = _predictor_u(pred, c, k, y, codes)
         outs.append(_predictor_head(pred, c, k, u, params["decoder"]))
     return jnp.stack(outs, axis=-2)  # (b, t, h, w, nc, nv)
 
@@ -236,24 +244,26 @@ def vt_sample_pixel_channels(params, c: VTConfig, y_pix, key, temp: float,
                              greedy: bool = False):
     """Sample the nc channel codes of one pixel autoregressively
     (videotransformer.py:161-185). y_pix: (b, d) — already layer-normed
-    decoder output at the pixel. Returns (b, nc) int32."""
+    decoder output at the pixel. Returns (b, nc) int32.
+
+    The one-hot-of-previous-channels matmul is computed as exact row gathers
+    of U_k's lower block (see _predictor_u) — the hot sampling path reads
+    nc-1 rows instead of streaming k*nv*d weights per channel.
+    """
     pred = params["predictor"]
     b = y_pix.shape[0]
-    prev_onehot = jnp.zeros((b, 0), y_pix.dtype)
-    samples = []
+    codes = jnp.zeros((b, c.nc), jnp.int32)
     for k in range(c.nc):
-        feats = jnp.concatenate([y_pix, prev_onehot], axis=-1) if k > 0 else y_pix
-        u = feats @ pred["U_w"][k] + pred["U_b"][k]
+        u = _predictor_u(pred, c, k, y_pix, codes)
         logits = _predictor_head(pred, c, k, u, params["decoder"])
+        logits = logits.astype(jnp.float32)
         if greedy:
             sk = jnp.argmax(logits, axis=-1)
         else:
             key, sub = jax.random.split(key)
             sk = jax.random.categorical(sub, logits / temp, axis=-1)
-        samples.append(sk.astype(jnp.int32))
-        oh = jax.nn.one_hot(sk, c.nv, dtype=y_pix.dtype)
-        prev_onehot = jnp.concatenate([prev_onehot, oh], axis=-1)
-    return jnp.stack(samples, axis=1)
+        codes = codes.at[:, k].set(sk.astype(jnp.int32))
+    return codes
 
 
 # --------------------------------------------------------------------------

@@ -155,20 +155,22 @@ def sample_slice_incremental(params, c: VTConfig, slice_shape, zl, sl, key,
     conv_w = dec["conv_w"].reshape(-1, c.de, c.d)[jnp.asarray(tap_ids_np)]
     pos_rows = jnp.asarray(posenc_rows((t, h, w), c.d))  # (thw, d)
 
+    cdtype = dec["conv_w"].dtype  # follows the (possibly bf16) param dtype
     zlproj = (zl @ dec["projector"]).reshape(b, thw, c.d)
     biasmasks = [
-        layer_logit_bias(lp, (t, h, w), blk)
+        layer_logit_bias(lp, (t, h, w), blk).astype(jnp.float32)
         for lp, blk in zip(dec["layers"], c.blocks_d)
     ]
+    pos_rows = pos_rows.astype(cdtype)
     pos_iota = jnp.arange(thw)
 
     sl_flat = sl.reshape(b, nc, thw)
     emb0 = _embed_sum_codes(dec, c, jnp.moveaxis(sl_flat, 1, -1))  # (b, thw, de)
     carry = SliceCarry(
         sl=sl_flat,
-        emb=emb0,
-        kcaches=tuple(jnp.zeros((b, na, thw, da)) for _ in range(L)),
-        vcaches=tuple(jnp.zeros((b, na, thw, da)) for _ in range(L)),
+        emb=emb0.astype(cdtype),
+        kcaches=tuple(jnp.zeros((b, na, thw, da), cdtype) for _ in range(L)),
+        vcaches=tuple(jnp.zeros((b, na, thw, da), cdtype) for _ in range(L)),
         key=key,
     )
 
@@ -191,10 +193,11 @@ def sample_slice_incremental(params, c: VTConfig, slice_shape, zl, sl, key,
             new_k.append(kc)
             new_v.append(vc)
 
-            logits = jnp.einsum("bak,bajk->baj", q, kc) / np.sqrt(da)
+            logits = jnp.einsum("bak,bajk->baj", q, kc,
+                                preferred_element_type=jnp.float32) / np.sqrt(da)
             logits = logits + biasmasks[l][:, p][None]  # (b, na, thw)
             logits = jnp.where(pos_iota[None, None] > p, jnp.float32(-1e9), logits)
-            wgt = jax.nn.softmax(logits, axis=-1)
+            wgt = jax.nn.softmax(logits, axis=-1).astype(vc.dtype)
             out = jnp.einsum("baj,bajk->bak", wgt, vc).reshape(b, na * da)
             x = out @ lp.proj + x
             # FFN at p
