@@ -50,16 +50,25 @@ def _tree_zeros_like(t):
     return jax.tree_util.tree_map(jnp.zeros_like, t)
 
 
-def make_train_step(model, optimizer, accumulation_steps: int = 1):
-    """Build the pure train step; jit it with donated state."""
+def make_train_step(model, optimizer, accumulation_steps: int = 1,
+                    compute_dtype=None):
+    """Build the pure train step; jit it with donated state.
+
+    compute_dtype=bfloat16 runs the forward/backward with bf16 weights and
+    activations while the fp32 master params/optimizer state stay authoritative
+    (the cast's VJP returns fp32 gradients) — the standard TPU mixed-precision
+    recipe; losses/softmax internals are computed in fp32 by the models.
+    """
+    from ..models import cast_floats
 
     def train_step(state: TrainState, batch, base_rng):
         rng = jax.random.fold_in(base_rng, state.step)
 
         def loss_fn(params):
+            p = params if compute_dtype is None else cast_floats(params, compute_dtype)
             loss, (metrics, new_mstate) = model.train_loss(
-                params, state.model_state, batch, rng)
-            return loss, (metrics, new_mstate)
+                p, state.model_state, batch, rng)
+            return loss.astype(jnp.float32), (metrics, new_mstate)
 
         grads, (metrics, new_mstate) = jax.grad(loss_fn, has_aux=True)(state.params)
 
@@ -124,8 +133,11 @@ class Trainer(TrainerBase):
         self._step_key = jax.device_put(self._step_key, rep)
         self._batch_sharding = batch_sharding(self.mesh)
 
+        cdt = cfg.TPU.COMPUTE_DTYPE
+        compute_dtype = None if cdt in ("", "float32") else jnp.dtype(cdt)
         self._train_step = jax.jit(
-            make_train_step(self.model, self.optimizer, accum),
+            make_train_step(self.model, self.optimizer, accum,
+                            compute_dtype=compute_dtype),
             donate_argnums=(0,))
 
         self._data_loader = data_loader

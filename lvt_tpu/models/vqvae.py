@@ -109,10 +109,11 @@ class VQVAE:
         return y, idx
 
     def _pixel_loss(self, x_tilde, x):
+        diff = x_tilde.astype(jnp.float32) - x.astype(jnp.float32)
         if self.pixel_loss_mode == "l2":
-            l = jnp.mean((x_tilde - x) ** 2)
+            l = jnp.mean(diff ** 2)
         else:
-            l = jnp.mean(jnp.abs(x_tilde - x))
+            l = jnp.mean(jnp.abs(diff))
         return self.pixel_loss_lambda * l
 
     def loss(self, params, state, x, *, train=True, axis_name=None,
@@ -129,12 +130,13 @@ class VQVAE:
             use_pallas=use_pallas)
         x_tilde, sg = self.decode_features(params, state, z_q_st, train=train, axis_name=axis_name)
 
+        f32 = lambda a: a.astype(jnp.float32)
         loss_dict = {"loss_reconstruction": self._pixel_loss(x_tilde, x)}
         if not self.ema:
             loss_dict["loss_dict"] = jnp.mean(
-                (z_q - jax.lax.stop_gradient(z_e)) ** 2)
+                (f32(z_q) - jax.lax.stop_gradient(f32(z_e))) ** 2)
         loss_dict["loss_commitment"] = self.beta * jnp.mean(
-            (z_e - jax.lax.stop_gradient(z_q)) ** 2)
+            (f32(z_e) - jax.lax.stop_gradient(f32(z_q))) ** 2)
 
         new_state = {"netE": se, "netG": sg,
                      "netC": new_cb if self.ema else state["netC"]}

@@ -31,7 +31,9 @@ import numpy as np
 
 
 def conv2d(x, w, b=None, stride=1, padding=0):
-    """NHWC conv. w: (kh, kw, in, out); padding int or (ph, pw)."""
+    """NHWC conv. w: (kh, kw, in, out); padding int or (ph, pw).
+    Inputs follow the weight dtype (bf16 mixed-precision compute)."""
+    x = x.astype(w.dtype)
     if isinstance(stride, int):
         stride = (stride, stride)
     if isinstance(padding, int):
@@ -54,6 +56,7 @@ def conv_transpose2d(x, w, b=None, stride=2, padding=1):
     torch's (in, out, kh, kw) order; we store (kh, kw, out, in) and flip
     spatially here. Output size = (n-1)*s - 2p + k.
     """
+    x = x.astype(w.dtype)
     if isinstance(stride, int):
         stride = (stride, stride)
     if isinstance(padding, int):
@@ -90,6 +93,7 @@ def masked_conv3d(x, w, b=None):
     Padding (t: kt-1 front, h: kh-1 top, w: centered) keeps the output the
     same size while only past raster positions feed each output.
     """
+    x = x.astype(w.dtype)
     kt, kh, kw = w.shape[:3]
     w = w * jnp.asarray(_causal_mask_np(kt, kh, kw), w.dtype)
     out = jax.lax.conv_general_dilated(
@@ -105,6 +109,7 @@ def masked_conv3d(x, w, b=None):
 
 def conv3d_strided(x, w, b=None, stride=(1, 1, 1)):
     """Plain VALID strided 3-D conv on (b, t, h, w, c); w: (kt,kh,kw,in,out)."""
+    x = x.astype(w.dtype)
     out = jax.lax.conv_general_dilated(
         x, w,
         window_strides=tuple(stride),

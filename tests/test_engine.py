@@ -21,6 +21,7 @@ CONFIG_DIR = os.path.join(os.path.dirname(__file__), "..", "configs")
 def _cfg(tmp_path, accum=1):
     cfg = get_cfg()
     cfg.merge_from_file(os.path.join(CONFIG_DIR, "vqvae", "PR-DVQVAE2.yaml"))
+    cfg.TPU.COMPUTE_DTYPE = "float32"  # oracle tests compare fp32 math
     cfg.MODEL.ENCODER.NF = 16
     cfg.MODEL.ENCODER.RES_CHANNELS = 8
     cfg.MODEL.ENCODER.N_LAYERS = 1
@@ -130,6 +131,18 @@ def test_checkpoint_resume_restores_iteration(rng, tmp_path):
     a = jax.tree_util.tree_leaves(trainer.state.params)[0]
     b = jax.tree_util.tree_leaves(trainer2.state.params)[0]
     np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+
+def test_bf16_mixed_precision_training(rng, tmp_path):
+    """bf16 compute with fp32 master params: loss decreases, params stay fp32."""
+    cfg = _cfg(tmp_path)
+    cfg.TPU.COMPUTE_DTYPE = "bfloat16"
+    trainer = Trainer(cfg, _synthetic_loader(rng, 8), mesh=build_mesh(data=4))
+    trainer.train(0, 25)
+    hist = trainer.storage.history("loss_reconstruction").values()
+    assert hist[-1][0] < hist[0][0]
+    leaf = jax.tree_util.tree_leaves(trainer.state.params)[0]
+    assert leaf.dtype == jnp.float32
 
 
 def test_nan_guard(rng, tmp_path):
