@@ -155,6 +155,18 @@ class Trainer(TrainerBase):
         batch = self._put_batch(batch)
         data_time = time.perf_counter() - start
 
+        vis_period = self.cfg.VIS_PERIOD
+        if (vis_period > 0 and self.iter > 0 and self.iter % vis_period == 0
+                and hasattr(self.model, "visualize_training")):
+            # reference ae.py:101-108 / vt.py:186-189: periodic image dumps
+            try:
+                images = self.model.visualize_training(
+                    self.state.params, self.state.model_state, batch)
+                for name, img in images.items():
+                    self.storage.put_image(name, img)
+            except Exception as e:  # vis must never kill training
+                logger.warning(f"visualize_training failed: {e}")
+
         self.state, metrics = self._train_step(self.state, batch, self._step_key)
         self._pending_metrics.append((self.iter, data_time, metrics))
         if len(self._pending_metrics) >= self.metrics_period:

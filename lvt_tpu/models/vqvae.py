@@ -143,6 +143,24 @@ class VQVAE:
         total = sum(loss_dict.values())
         return total, (loss_dict, new_state)
 
+    def visualize_training(self, params, state, batch):
+        """Reconstruction grids for TensorBoard (reference
+        visualize_training, ae.py:86-99): first 3 frames, tiled, CHW uint8."""
+        from ..utils.image import array2im
+
+        x = batch.get("image")
+        if x is None:
+            x = batch["image_sequence"][0]
+        x = jnp.asarray(x[:3])
+        recon, _ = self.reconstruct(params, state, self.normalize(x))
+        img = array2im(
+            jnp.transpose(recon, (0, 3, 1, 2)),
+            normalize=self.cfg.MODEL.GENERATOR.OUT_ACTIVATION == "tanh",
+            tile=True)
+        if img.ndim == 2:
+            img = img[:, :, None]
+        return {"reconstruction": img.transpose(2, 0, 1)}
+
     def train_loss(self, params, model_state, batch, rng, *, axis_name=None):
         """Uniform trainer interface. batch: {"image": (b, H, W, C)} or
         {"image_sequence": (b, t, H, W, C)} raw frames (already /255 when

@@ -356,6 +356,35 @@ class VideoTransformer:
         loss, metrics = self.loss(params, batch, rng, axis_name=axis_name)
         return loss, (metrics, model_state)
 
+    def visualize_training(self, params, state, batch):
+        """Sample one slice given its context and show gt vs sampled code
+        maps as grayscale grids (reference visualize_training + sample_slice,
+        vt.py:139-180)."""
+        from ..utils.image import array2im
+        from .vt_incremental import sample_slice_incremental
+
+        video = jnp.asarray(batch["video"][:1])
+        s = min(self.c.n_prime, self.plan.num_slices - 1)
+        slice_idx = jnp.asarray([s], jnp.int32)
+        ctx, gt_slice, _ = self.prepare_slices(video, slice_idx)
+        zl = vt_encode(params["netG"], self.c, ctx, slice_idx,
+                       use_pallas=self.use_pallas)
+        t, h, w = self.plan.slice_shape
+        primed = jnp.zeros((t * h * w,), bool)
+        sampled, _ = sample_slice_incremental(
+            params["netG"], self.c, (t, h, w), zl,
+            jnp.zeros_like(gt_slice), jax.random.key(0), primed, 0.9)
+
+        def to_img(sl):  # (1, nc, t, h, w) codes -> (C, H, W) uint8 grid
+            x = np.asarray(sl[0], np.float32) / self.c.nv  # (nc, t, h, w)
+            x = x.transpose(1, 0, 2, 3)  # (t, nc, h, w)
+            img = array2im(x, normalize=False, tile=True)
+            if img.ndim == 2:
+                img = img[:, :, None]
+            return img.transpose(2, 0, 1)
+
+        return {"gt_slice": to_img(gt_slice), "sampled_slice": to_img(sampled)}
+
     # -- evaluation ----------------------------------------------------------
     def logits_for_entire_video(self, params, video, class_idx=None):
         """Teacher-forced logits for all S slices, scattered to full-video

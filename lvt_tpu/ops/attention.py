@@ -153,11 +153,43 @@ def attention_core_pallas(q, k, v, bias, mask: Optional[np.ndarray], *, interpre
     )(*args)
 
 
+@lru_cache(maxsize=8)
+def _attention_core_pallas_ad(masked: bool):
+    """Differentiable wrapper: Pallas forward, backward through the XLA
+    formulation (pallas_call has no autodiff rule; the recompute-in-backward
+    pattern is the standard flash-attention recipe)."""
+
+    def _mask(n):
+        return causal_mask(n) if masked else None
+
+    @jax.custom_vjp
+    def f(q, k, v, bias):
+        return attention_core_pallas(q, k, v, bias, _mask(q.shape[2]))
+
+    def fwd(q, k, v, bias):
+        return f(q, k, v, bias), (q, k, v, bias)
+
+    def bwd(res, g):
+        q, k, v, bias = res
+        _, vjp = jax.vjp(
+            lambda q_, k_, v_, b_: attention_core_xla(q_, k_, v_, b_, _mask(q.shape[2])),
+            q, k, v, bias)
+        return vjp(g)
+
+    f.defvjp(fwd, bwd)
+    return f
+
+
 def attention_core(q, k, v, bias, mask, *, use_pallas: Optional[bool] = None):
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
     if use_pallas:
-        return attention_core_pallas(q, k, v, bias, mask)
+        # the only masks used are the causal triangle or none; the AD wrapper
+        # reconstructs them from `masked` so the mask needn't be traced
+        masked = mask is not None
+        if masked:
+            assert mask.shape == (q.shape[2], q.shape[2])
+        return _attention_core_pallas_ad(masked)(q, k, v, bias)
     return attention_core_xla(q, k, v, bias, mask)
 
 

@@ -132,12 +132,31 @@ def nearest_indices_pallas(z: jnp.ndarray, codebook: jnp.ndarray, *, interpret: 
     return out[:N0, 0]
 
 
+@jax.custom_vjp
+def _nearest_indices_pallas_nd(z, codebook):
+    """pallas_call has no autodiff rule; the int32 indices carry no gradient,
+    so give the kernel an explicit zero-cotangent VJP for use under jax.grad."""
+    return nearest_indices_pallas(z, codebook)
+
+
+def _nip_fwd(z, codebook):
+    return nearest_indices_pallas(z, codebook), (z, codebook)
+
+
+def _nip_bwd(res, g):
+    z, codebook = res
+    return jnp.zeros_like(z), jnp.zeros_like(codebook)
+
+
+_nearest_indices_pallas_nd.defvjp(_nip_fwd, _nip_bwd)
+
+
 def nearest_indices(z: jnp.ndarray, codebook: jnp.ndarray, *, use_pallas: Optional[bool] = None) -> jnp.ndarray:
     """Dispatch: Pallas on TPU, XLA elsewhere. z: (N, Dc) -> (N,) int32."""
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
     if use_pallas:
-        return nearest_indices_pallas(z, codebook)
+        return _nearest_indices_pallas_nd(z, codebook)
     return nearest_indices_xla(z, codebook)
 
 
