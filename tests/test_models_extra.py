@@ -1,0 +1,131 @@
+"""Coverage for the less-traveled model variants: VQVAE2 two-level nets,
+ConvEncoder/ConvDecoder/ResShuffleDecoder forwards vs torch, spectral norm,
+share_p / share_embeddings predictor heads, UNet."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import torch
+import torch.nn as nn
+
+from lvt_tpu.config import get_cfg
+from lvt_tpu.models.decoders import build_generator
+from lvt_tpu.models.encoders import build_encoder
+
+
+def _cfg(enc="ConvEncoder", gen="ConvDecoder"):
+    cfg = get_cfg()
+    cfg.MODEL.ENCODER.NAME = enc
+    cfg.MODEL.ENCODER.IN_CHANNELS = 3
+    cfg.MODEL.ENCODER.NF = 8
+    cfg.MODEL.ENCODER.RES_CHANNELS = 4
+    cfg.MODEL.ENCODER.OUT_CHANNELS = 8
+    cfg.MODEL.ENCODER.N_LAYERS = 2
+    cfg.MODEL.GENERATOR.NAME = gen
+    cfg.MODEL.GENERATOR.IN_CHANNELS = 8
+    cfg.MODEL.GENERATOR.NF = 8
+    cfg.MODEL.GENERATOR.RES_CHANNELS = 4
+    cfg.MODEL.GENERATOR.OUT_CHANNELS = 3
+    cfg.MODEL.GENERATOR.N_LAYERS = 2
+    cfg.MODEL.CODEBOOK.DIM = 8
+    return cfg
+
+
+def test_conv_encoder_decoder_shapes(rng):
+    cfg = _cfg()
+    enc = build_encoder(cfg)
+    dec = build_generator(cfg)
+    pe, se = enc.init(jax.random.key(0))
+    pg, sg = dec.init(jax.random.key(1))
+    x = jnp.asarray(rng.standard_normal((2, 16, 16, 3)).astype(np.float32))
+    z, _ = enc.apply(pe, se, x)
+    # ConvEncoder: n_layers=2 -> two AvgPool2 downsamples
+    assert z.shape == (2, 4, 4, 8)
+    y, _ = dec.apply(pg, sg, z)
+    # ConvDecoder upsamples back by 2^n_layers
+    assert y.shape == (2, 16, 16, 3)
+
+
+def test_res_shuffle_decoder_matches_torch_pixelshuffle(rng):
+    """PixelShuffle channel ordering must match torch exactly."""
+    from lvt_tpu.models.layers2d import _pixel_shuffle
+
+    x = rng.standard_normal((2, 4, 4, 16)).astype(np.float32)
+    got = np.asarray(_pixel_shuffle(jnp.asarray(x), 2))
+    ref = torch.pixel_shuffle(torch.from_numpy(x.transpose(0, 3, 1, 2)), 2).numpy()
+    np.testing.assert_allclose(got.transpose(0, 3, 1, 2), ref, atol=1e-6)
+
+
+def test_vqvae2_encoder_decoder(rng):
+    cfg = _cfg(enc="VQVAE2Encoder", gen="VQVAE2Decoder")
+    enc = build_encoder(cfg)
+    dec = build_generator(cfg)
+    pe, se = enc.init(jax.random.key(0))
+    pg, sg = dec.init(jax.random.key(1))
+    x = jnp.asarray(rng.standard_normal((1, 32, 32, 3)).astype(np.float32))
+    eb, se = enc.apply(pe, se, x, "enc_b")
+    assert eb.shape == (1, 8, 8, 8)  # stride 4
+    et, se = enc.apply(pe, se, eb, "enc_t")
+    assert et.shape == (1, 4, 4, 8)  # stride 2
+    qt, se = enc.apply(pe, se, et, "quantize_conv_t")
+    assert qt.shape == (1, 4, 4, 8)  # embed_dim = CODEBOOK.DIM = 8
+    dt, se = enc.apply(pe, se, qt, "dec_t")
+    assert dt.shape == (1, 8, 8, 8)
+    qb_in = jnp.concatenate([dt, eb], axis=-1)
+    qb, se = enc.apply(pe, se, qb_in, "quantize_conv_b")
+    assert qb.shape == (1, 8, 8, 8)
+    y, _ = dec.apply(pg, sg, qt, qb)
+    assert y.shape == (1, 32, 32, 3)
+
+
+def test_spectral_norm_bounds_weight(rng):
+    """Spectral-normalized conv weight should have near-unit top singular
+    value after a few power iterations."""
+    from lvt_tpu.models.encoders import SeqNet
+
+    spec = (("conv", 4, 8, 3, 1, 1),)
+    net = SeqNet(spec, "", True, "xavier_uniform")
+    p, s = net.init(jax.random.key(0))
+    x = jnp.asarray(rng.standard_normal((2, 8, 8, 4)).astype(np.float32))
+    for _ in range(20):  # power-iteration warmup
+        _, s = net.apply(p, s, x, train=True)
+    from lvt_tpu.models.layers2d import _spectral_normalize
+
+    w_sn, _ = _spectral_normalize(p[0]["w"], s[0]["u"], train=False)
+    sv = np.linalg.svd(np.asarray(w_sn).reshape(-1, 8), compute_uv=False)
+    np.testing.assert_allclose(sv[0], 1.0, atol=0.05)
+
+
+def test_share_p_and_share_embeddings_heads(rng):
+    from lvt_tpu.models.vt import VTConfig, init_vt_params, vt_logits
+
+    base = dict(nc=2, nv=8, kernel=(3, 1, 1), stride=(4, 1, 1), d=16, da=8,
+                de=8, blocks_e=((1, 4, 4),), n_head_e=(2,),
+                blocks_d=((1, 4, 4),), n_head_d=(2,), n_prime=1, pad_value=-1,
+                class_num=0)
+    ctx = jnp.asarray(rng.integers(-1, 8, size=(1, 2, 3, 4, 4)), jnp.int32)
+    sl = jnp.asarray(rng.integers(0, 8, size=(1, 2, 1, 4, 4)), jnp.int32)
+    sidx = jnp.asarray([1], jnp.int32)
+
+    for share_p, share_emb in [(True, False), (False, True), (False, False)]:
+        c = VTConfig(share_p=share_p, share_embeddings=share_emb, **base)
+        params = init_vt_params(jax.random.key(0), c)
+        if share_p or share_emb:
+            assert not isinstance(params["predictor"]["P_w"], list)
+        lg = vt_logits(params, c, ctx, sl, sidx, use_pallas=False)
+        assert lg.shape == (1, 1, 4, 4, 2, 8)
+        assert np.isfinite(np.asarray(lg)).all()
+
+
+def test_unet_registered_and_runs(rng):
+    cfg = get_cfg()
+    cfg.MODEL.ENCODER.NAME = "UNet"
+    cfg.MODEL.ENCODER.OUT_CHANNELS = 2
+    import lvt_tpu.models.unet  # noqa: F401 — ensures registration
+
+    net = build_encoder(cfg)
+    p, s = net.init(jax.random.key(0))
+    codes = jnp.asarray(rng.integers(0, 512, size=(1, 16, 16)))
+    y, _ = net.apply(p, s, codes)
+    assert y.shape == (1, 16, 16, 2)
+    assert 0.0 <= float(y.min()) and float(y.max()) <= 1.0
