@@ -18,7 +18,18 @@ from typing import Optional
 
 import numpy as np
 
+from .. import native
 from ..utils import image as image_utils
+
+
+def _read_frame(path: str, img_format: str) -> np.ndarray:
+    """PNG fast path through the native decoder (bit-exact vs PIL for the
+    formats our converters produce); PIL otherwise."""
+    if img_format == "RGB" and path.endswith(".png"):
+        arr = native.read_png_rgb(path)
+        if arr is not None:
+            return arr
+    return image_utils.read_image(path, img_format)
 
 
 class ShortVideoException(Exception):
@@ -52,16 +63,19 @@ class DatasetMapper:
             if "latent_names" in out:
                 n = len(out["latent_names"])
                 sel = self._start_end(n)
-                frames = [np.load(os.path.join(out["video_root"], f))
-                          for f in out["latent_names"][sel]]
-                seq = np.stack(frames, axis=0)  # (T, nc, h, w) or (T, h, w)
+                paths = [os.path.join(out["video_root"], f)
+                         for f in out["latent_names"][sel]]
+                first = np.load(paths[0])
+                seq = native.load_npy_sequence_i32(paths, first.shape)
+                if seq is None:  # no native lib / exotic dtype
+                    seq = np.stack([first] + [np.load(p) for p in paths[1:]], axis=0)
                 if seq.ndim == 3:
                     seq = seq[:, None]
                 out["video"] = np.ascontiguousarray(
                     seq.transpose(1, 0, 2, 3)).astype(np.int32)  # (nc, T, h, w)
 
             elif "image_path" in out:
-                img = image_utils.read_image(out["image_path"], self.img_format)
+                img = _read_frame(out["image_path"], self.img_format)
                 img = img.astype(np.float32)
                 if self.scale_zeroone:
                     img /= 255.0
@@ -71,8 +85,7 @@ class DatasetMapper:
                 n = len(out["image_names"])
                 sel = self._start_end(n)
                 frames = [
-                    image_utils.read_image(
-                        os.path.join(out["video_root"], f), self.img_format)
+                    _read_frame(os.path.join(out["video_root"], f), self.img_format)
                     for f in out["image_names"][sel]
                 ]
                 seq = np.stack(frames, axis=0).astype(np.float32)  # (T, H, W, C)
