@@ -139,9 +139,15 @@ def build_vt_infer_fn(cfg, model, params, *, rng=None):
         params, v, class_idx=cls)) if want_logits else None
 
     def _sample(v, cls, key):
-        primed = v.at[:, :, n_prime_sample:].set(0)
-        return model.sample_video(params, primed, key,
-                                  n_prime=n_prime_sample, class_idx=cls)
+        # all num_samples rollouts ride the batch dimension of ONE jitted
+        # sample_video call (the reference loops sample_video num_samples
+        # times, vt.py:221-223)
+        vrep = jnp.concatenate([v] * num_samples, axis=0)
+        crep = None if cls is None else jnp.concatenate([cls] * num_samples)
+        primed = vrep.at[:, :, n_prime_sample:].set(0)
+        out = model.sample_video(params, primed, key,
+                                 n_prime=n_prime_sample, class_idx=crep)
+        return out.reshape((num_samples,) + v.shape)
 
     sample_fn = jax.jit(_sample) if want_samples else None
 
@@ -159,12 +165,10 @@ def build_vt_infer_fn(cfg, model, params, *, rng=None):
                 outputs[i]["logits"] = lg[i]
                 outputs[i]["ignore_t"] = ignore_t
         if want_samples:
-            samples = []
-            for _ in range(num_samples):
-                rng_holder["key"], sub = jax.random.split(rng_holder["key"])
-                samples.append(np.asarray(sample_fn(video, cls, sub)))
+            rng_holder["key"], sub = jax.random.split(rng_holder["key"])
+            samples = np.asarray(sample_fn(video, cls, sub))  # (S, b, ...)
             for i in range(b):
-                outputs[i]["samples"] = [s[i] for s in samples]
+                outputs[i]["samples"] = [samples[s, i] for s in range(num_samples)]
         assert all(outputs), "No evaluator-compatible output produced"
         return outputs
 
