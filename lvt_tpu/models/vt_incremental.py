@@ -119,8 +119,8 @@ def layer_logit_bias(p: BlockAttnParams, slice_shape, block) -> jnp.ndarray:
 class SliceCarry(NamedTuple):
     sl: jnp.ndarray  # (b, nc, thw) current codes
     emb: jnp.ndarray  # (b, thw, de) summed channel embeddings of final codes
-    kcaches: Tuple[jnp.ndarray, ...]  # per layer (b, na, thw, da)
-    vcaches: Tuple[jnp.ndarray, ...]
+    kcaches: jnp.ndarray  # (L, b, na, thw, da) stacked per-layer K cache
+    vcaches: jnp.ndarray  # (L, b, na, thw, da)
     key: jnp.ndarray
 
 
@@ -157,10 +157,19 @@ def sample_slice_incremental(params, c: VTConfig, slice_shape, zl, sl, key,
 
     cdtype = dec["conv_w"].dtype  # follows the (possibly bf16) param dtype
     zlproj = (zl @ dec["projector"]).reshape(b, thw, c.d)
-    biasmasks = [
+    biasmasks = jnp.stack([
         layer_logit_bias(lp, (t, h, w), blk).astype(jnp.float32)
         for lp, blk in zip(dec["layers"], c.blocks_d)
-    ]
+    ])  # (L, na, thw, thw)
+    # one lax.scan over stacked layer params replaces the unrolled loop:
+    # ~L x smaller HLO in the (already pixel-scanned) body. Stacking needs
+    # homogeneous layer shapes — true for every shipped config (same block
+    # size per layer); heterogeneous bias banks would need the old unroll.
+    shapes = {tuple(lp.dt_bank.shape) + tuple(lp.dh_bank.shape) +
+              tuple(lp.dw_bank.shape) for lp in dec["layers"]}
+    assert len(shapes) == 1, "heterogeneous decoder block sizes unsupported"
+    stacked_layers: BlockAttnParams = jax.tree_util.tree_map(
+        lambda *xs: jnp.stack(xs), *dec["layers"])
     pos_rows = pos_rows.astype(cdtype)
     pos_iota = jnp.arange(thw)
 
@@ -169,8 +178,8 @@ def sample_slice_incremental(params, c: VTConfig, slice_shape, zl, sl, key,
     carry = SliceCarry(
         sl=sl_flat,
         emb=emb0.astype(cdtype),
-        kcaches=tuple(jnp.zeros((b, na, thw, da), cdtype) for _ in range(L)),
-        vcaches=tuple(jnp.zeros((b, na, thw, da), cdtype) for _ in range(L)),
+        kcaches=jnp.zeros((L, b, na, thw, da), cdtype),
+        vcaches=jnp.zeros((L, b, na, thw, da), cdtype),
         key=key,
     )
 
@@ -181,21 +190,18 @@ def sample_slice_incremental(params, c: VTConfig, slice_shape, zl, sl, key,
         x = jnp.einsum("bke,ked->bd", rows * valid, conv_w) + dec["conv_b"]
         x = x + pos_rows[p] + zlproj[:, p]
 
-        new_k, new_v = [], []
-        for l in range(L):
-            lp: BlockAttnParams = dec["layers"][l]
+        def layer_body(x, inputs):
+            lp, kc, vc, bias_p = inputs
             y = _layer_norm(x, lp.ln_scale, lp.ln_bias)
             q = jnp.einsum("bd,adk->bak", y, lp.wq)
             kk = jnp.einsum("bd,adk->bak", y, lp.wk)
             vv = jnp.einsum("bd,adk->bak", y, lp.wv)
-            kc = carry.kcaches[l].at[:, :, p].set(kk)
-            vc = carry.vcaches[l].at[:, :, p].set(vv)
-            new_k.append(kc)
-            new_v.append(vc)
+            kc = kc.at[:, :, p].set(kk)
+            vc = vc.at[:, :, p].set(vv)
 
             logits = jnp.einsum("bak,bajk->baj", q, kc,
                                 preferred_element_type=jnp.float32) / np.sqrt(da)
-            logits = logits + biasmasks[l][:, p][None]  # (b, na, thw)
+            logits = logits + bias_p[None]  # (b, na, thw)
             logits = jnp.where(pos_iota[None, None] > p, jnp.float32(-1e9), logits)
             wgt = jax.nn.softmax(logits, axis=-1).astype(vc.dtype)
             out = jnp.einsum("baj,bajk->bak", wgt, vc).reshape(b, na * da)
@@ -204,6 +210,11 @@ def sample_slice_incremental(params, c: VTConfig, slice_shape, zl, sl, key,
             yf = _layer_norm(x, lp.ffn_ln_scale, lp.ffn_ln_bias)
             yf = jax.nn.relu(yf @ lp.ffn_w1 + lp.ffn_b1)
             x = yf @ lp.ffn_w2 + lp.ffn_b2 + x
+            return x, (kc, vc)
+
+        x, (new_k, new_v) = jax.lax.scan(
+            layer_body, x,
+            (stacked_layers, carry.kcaches, carry.vcaches, biasmasks[:, :, p]))
 
         y_pix = _layer_norm(x, pred["ln_scale"], pred["ln_bias"])
         key, sub = jax.random.split(carry.key)
@@ -214,7 +225,7 @@ def sample_slice_incremental(params, c: VTConfig, slice_shape, zl, sl, key,
         sl_new = carry.sl.at[:, :, p].set(final)
         emb_new = carry.emb.at[:, p].set(
             _embed_sum_codes(dec, c, jnp.moveaxis(final, 1, -1)))
-        return SliceCarry(sl_new, emb_new, tuple(new_k), tuple(new_v), key), None
+        return SliceCarry(sl_new, emb_new, new_k, new_v, key), None
 
     carry, _ = jax.lax.scan(pixel_step, carry, jnp.arange(thw))
     return carry.sl.reshape(b, nc, t, h, w), carry.key
