@@ -15,7 +15,6 @@ import os
 import re
 from typing import Any, Optional
 
-import jax
 import orbax.checkpoint as ocp
 
 logger = logging.getLogger(__name__)

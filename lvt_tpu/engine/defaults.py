@@ -10,7 +10,6 @@ evaluation.inference_on_dataset, replacing the reference's
 import argparse
 import logging
 import os
-import sys
 from collections import OrderedDict
 
 import jax

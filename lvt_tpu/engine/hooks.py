@@ -3,11 +3,9 @@
 import datetime
 import logging
 import time
-from collections import Counter
 
 from ..checkpoint import prune_checkpoints, save_checkpoint
 from ..utils import comm
-from ..utils.events import EventStorage, get_event_storage
 from .train_loop import HookBase
 
 logger = logging.getLogger(__name__)

@@ -7,7 +7,6 @@ an alternating-update trainer path but ships NO discriminator module
 (SURVEY.md §2.5), so nothing in the shipped configs reaches this.
 """
 
-import jax
 import jax.numpy as jnp
 
 

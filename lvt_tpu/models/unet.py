@@ -7,7 +7,7 @@ but never imports the module, so it is unreachable there
 (encoder/__init__.py) — we register it for real.
 """
 
-from typing import Any, Dict, List, Tuple
+from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp

@@ -15,7 +15,7 @@ Layouts: frames NHWC on device; public ``encode``/``decode`` speak the
 reference's (.., nc, h, w) latent layout for CodesExtractor .npy compat.
 """
 
-from typing import Any, Dict, NamedTuple, Optional, Tuple
+from typing import Any, Dict, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -21,7 +21,7 @@ Layouts: codes (b, nc, T, H, W) int32 at the API boundary (matches reference
 latent .npy), activations channels-last (b, t, h, w, d) on device.
 """
 
-from typing import Any, Dict, List, NamedTuple, Optional, Tuple
+from typing import Any, Dict, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -161,15 +161,6 @@ def sample_slice_incremental(params, c: VTConfig, slice_shape, zl, sl, key,
         layer_logit_bias(lp, (t, h, w), blk).astype(jnp.float32)
         for lp, blk in zip(dec["layers"], c.blocks_d)
     ])  # (L, na, thw, thw)
-    # one lax.scan over stacked layer params replaces the unrolled loop:
-    # ~L x smaller HLO in the (already pixel-scanned) body. Stacking needs
-    # homogeneous layer shapes — true for every shipped config (same block
-    # size per layer); heterogeneous bias banks would need the old unroll.
-    shapes = {tuple(lp.dt_bank.shape) + tuple(lp.dh_bank.shape) +
-              tuple(lp.dw_bank.shape) for lp in dec["layers"]}
-    assert len(shapes) == 1, "heterogeneous decoder block sizes unsupported"
-    stacked_layers: BlockAttnParams = jax.tree_util.tree_map(
-        lambda *xs: jnp.stack(xs), *dec["layers"])
     pos_rows = pos_rows.astype(cdtype)
     pos_iota = jnp.arange(thw)
 
@@ -190,18 +181,25 @@ def sample_slice_incremental(params, c: VTConfig, slice_shape, zl, sl, key,
         x = jnp.einsum("bke,ked->bd", rows * valid, conv_w) + dec["conv_b"]
         x = x + pos_rows[p] + zlproj[:, p]
 
-        def layer_body(x, inputs):
-            lp, kc, vc, bias_p = inputs
+        # unrolled layer loop: a lax.scan here costs ~3.5x runtime (per-
+        # iteration scan overhead dwarfs the tiny per-layer body inside the
+        # 4096-step pixel scan); the stacked cache layout is kept
+        new_k = carry.kcaches
+        new_v = carry.vcaches
+        for l in range(L):
+            lp: BlockAttnParams = dec["layers"][l]
             y = _layer_norm(x, lp.ln_scale, lp.ln_bias)
             q = jnp.einsum("bd,adk->bak", y, lp.wq)
             kk = jnp.einsum("bd,adk->bak", y, lp.wk)
             vv = jnp.einsum("bd,adk->bak", y, lp.wv)
-            kc = kc.at[:, :, p].set(kk)
-            vc = vc.at[:, :, p].set(vv)
+            new_k = new_k.at[l, :, :, p].set(kk)
+            new_v = new_v.at[l, :, :, p].set(vv)
+            kc = new_k[l]
+            vc = new_v[l]
 
             logits = jnp.einsum("bak,bajk->baj", q, kc,
                                 preferred_element_type=jnp.float32) / np.sqrt(da)
-            logits = logits + bias_p[None]  # (b, na, thw)
+            logits = logits + biasmasks[l, :, p][None]  # (b, na, thw)
             logits = jnp.where(pos_iota[None, None] > p, jnp.float32(-1e9), logits)
             wgt = jax.nn.softmax(logits, axis=-1).astype(vc.dtype)
             out = jnp.einsum("baj,bajk->bak", wgt, vc).reshape(b, na * da)
@@ -210,11 +208,6 @@ def sample_slice_incremental(params, c: VTConfig, slice_shape, zl, sl, key,
             yf = _layer_norm(x, lp.ffn_ln_scale, lp.ffn_ln_bias)
             yf = jax.nn.relu(yf @ lp.ffn_w1 + lp.ffn_b1)
             x = yf @ lp.ffn_w2 + lp.ffn_b2 + x
-            return x, (kc, vc)
-
-        x, (new_k, new_v) = jax.lax.scan(
-            layer_body, x,
-            (stacked_layers, carry.kcaches, carry.vcaches, biasmasks[:, :, p]))
 
         y_pix = _layer_norm(x, pred["ln_scale"], pred["ln_bias"])
         key, sub = jax.random.split(carry.key)

@@ -11,7 +11,6 @@ shard_map/pjit with a named mesh axis.
 """
 
 import jax
-import jax.numpy as jnp
 
 __all__ = ["all_gather", "reduce_scatter", "all_reduce", "all_to_all", "ppermute"]
 

@@ -18,7 +18,6 @@ Parity notes:
   (lr_scheduler.py:17-117).
 """
 
-from bisect import bisect_right
 from typing import Callable, NamedTuple
 
 import jax

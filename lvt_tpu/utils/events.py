@@ -10,7 +10,6 @@ import datetime
 import json
 import logging
 import os
-import time
 from collections import defaultdict
 from contextlib import contextmanager
 

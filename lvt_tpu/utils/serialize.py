@@ -5,7 +5,6 @@ processes. Our loaders are thread-based (no pickling), but the wrapper is
 kept for API parity and for anyone spawning their own processes.
 """
 
-import pickle
 
 
 class PicklableWrapper:
