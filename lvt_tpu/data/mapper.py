@@ -60,7 +60,14 @@ class DatasetMapper:
         try:
             out = dict(dataset_dict)
 
-            if "latent_names" in out:
+            if "image" in out:
+                # raw array handed in directly (reference dataset_mapper.py:63-66)
+                img = np.asarray(out["image"]).astype(np.float32)
+                if self.scale_zeroone:
+                    img /= 255.0
+                out["image"] = img
+
+            elif "latent_names" in out:
                 n = len(out["latent_names"])
                 sel = self._start_end(n)
                 paths = [os.path.join(out["video_root"], f)

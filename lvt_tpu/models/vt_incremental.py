@@ -163,6 +163,15 @@ def sample_slice_incremental(params, c: VTConfig, slice_shape, zl, sl, key,
     ])  # (L, na, thw, thw)
     pos_rows = pos_rows.astype(cdtype)
     pos_iota = jnp.arange(thw)
+    # fused per-layer QKV: one (d, 3*na*da) matmul per layer instead of three
+    wqkv = [
+        jnp.concatenate([
+            lp.wq.transpose(1, 0, 2).reshape(c.d, na * da),
+            lp.wk.transpose(1, 0, 2).reshape(c.d, na * da),
+            lp.wv.transpose(1, 0, 2).reshape(c.d, na * da),
+        ], axis=1)
+        for lp in dec["layers"]
+    ]
 
     sl_flat = sl.reshape(b, nc, thw)
     emb0 = _embed_sum_codes(dec, c, jnp.moveaxis(sl_flat, 1, -1))  # (b, thw, de)
@@ -189,9 +198,8 @@ def sample_slice_incremental(params, c: VTConfig, slice_shape, zl, sl, key,
         for l in range(L):
             lp: BlockAttnParams = dec["layers"][l]
             y = _layer_norm(x, lp.ln_scale, lp.ln_bias)
-            q = jnp.einsum("bd,adk->bak", y, lp.wq)
-            kk = jnp.einsum("bd,adk->bak", y, lp.wk)
-            vv = jnp.einsum("bd,adk->bak", y, lp.wv)
+            qkv = (y @ wqkv[l]).reshape(b, 3, na, da)
+            q, kk, vv = qkv[:, 0], qkv[:, 1], qkv[:, 2]
             new_k = new_k.at[l, :, :, p].set(kk)
             new_v = new_v.at[l, :, :, p].set(vv)
             kc = new_k[l]

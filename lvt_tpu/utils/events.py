@@ -231,8 +231,24 @@ class CommonMetricPrinter(EventWriter):
             for k, v in storage.histories().items()
             if "loss" in k
         )
+        mem = _device_memory_mb()
         self.logger.info(
             f"eta: {eta_string}  iter: {iteration}  {losses}  {time_str}"
             + (f"  data_time: {data_time:.4f}" if data_time is not None else "")
             + f"  lr: {lr}"
+            + (f"  max_mem: {mem:.0f}M" if mem is not None else "")
         )
+
+
+def _device_memory_mb():
+    """Peak device memory in MB (the reference logs CUDA max_mem,
+    events.py:199-204); None when the backend exposes no stats."""
+    try:
+        import jax
+
+        stats = jax.local_devices()[0].memory_stats()
+        if stats and "peak_bytes_in_use" in stats:
+            return stats["peak_bytes_in_use"] / (1024.0 * 1024.0)
+    except Exception:
+        pass
+    return None
