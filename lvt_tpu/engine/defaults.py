@@ -69,8 +69,11 @@ def default_setup(cfg, args):
 
     rank = comm.get_rank()
     setup_logger(output_dir, distributed_rank=rank, name="lvt_tpu")
+    from ..utils.collect_env import collect_env_info
+
     logging.getLogger("lvt_tpu").info(
         f"Rank of current process: {rank}. World size: {comm.get_world_size()}")
+    logging.getLogger("lvt_tpu").info("Environment info:\n" + collect_env_info())
     logging.getLogger("lvt_tpu").info(
         f"jax {jax.__version__}, backend {jax.default_backend()}, "
         f"{jax.device_count()} devices")

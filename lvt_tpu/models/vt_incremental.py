@@ -173,17 +173,11 @@ def sample_slice_incremental(params, c: VTConfig, slice_shape, zl, sl, key,
         for lp in dec["layers"]
     ]
 
-    sl_flat = sl.reshape(b, nc, thw)
-    emb0 = _embed_sum_codes(dec, c, jnp.moveaxis(sl_flat, 1, -1))  # (b, thw, de)
-    carry = SliceCarry(
-        sl=sl_flat,
-        emb=emb0.astype(cdtype),
-        kcaches=jnp.zeros((L, b, na, thw, da), cdtype),
-        vcaches=jnp.zeros((L, b, na, thw, da), cdtype),
-        key=key,
-    )
-
     def pixel_step(carry: SliceCarry, p):
+        """One raster position. The K/V caches in `carry` may be shorter than
+        thw (segmented growth below) — position p only ever attends to
+        positions < cache_len, which is exact because p < cache_len always."""
+        cache_len = carry.kcaches.shape[3]
         # causal conv at p: gather unmasked-tap neighbors (all strictly < p)
         rows = carry.emb[:, nbr[p]]  # (b, K', de); nbr -1 wraps to last row
         valid = (nbr[p] >= 0).astype(rows.dtype)[None, :, None]
@@ -207,8 +201,9 @@ def sample_slice_incremental(params, c: VTConfig, slice_shape, zl, sl, key,
 
             logits = jnp.einsum("bak,bajk->baj", q, kc,
                                 preferred_element_type=jnp.float32) / np.sqrt(da)
-            logits = logits + biasmasks[l, :, p][None]  # (b, na, thw)
-            logits = jnp.where(pos_iota[None, None] > p, jnp.float32(-1e9), logits)
+            logits = logits + biasmasks[l, :, p, :cache_len][None]  # (b, na, cl)
+            logits = jnp.where(pos_iota[None, None, :cache_len] > p,
+                               jnp.float32(-1e9), logits)
             wgt = jax.nn.softmax(logits, axis=-1).astype(vc.dtype)
             out = jnp.einsum("baj,bajk->bak", wgt, vc).reshape(b, na * da)
             x = out @ lp.proj + x
@@ -228,5 +223,35 @@ def sample_slice_incremental(params, c: VTConfig, slice_shape, zl, sl, key,
             _embed_sum_codes(dec, c, jnp.moveaxis(final, 1, -1)))
         return SliceCarry(sl_new, emb_new, new_k, new_v, key), None
 
-    carry, _ = jax.lax.scan(pixel_step, carry, jnp.arange(thw))
+    sl_flat = sl.reshape(b, nc, thw)
+    emb0 = _embed_sum_codes(dec, c, jnp.moveaxis(sl_flat, 1, -1))  # (b, thw, de)
+
+    # Segmented cache growth: pixels [0, s1) only ever attend to the first s1
+    # positions, so early segments run with short K/V buffers — the cache
+    # reads dominate HBM traffic at large batch, and the triangular prefix
+    # cuts them ~1.6x. Segment boundaries are static; each segment is its own
+    # scan over a fixed-size carry.
+    seg = max(64, thw // 4)
+    bounds = list(range(seg, thw + 1, seg)) or [thw]
+    if bounds[-1] != thw:
+        bounds.append(thw)
+
+    carry = SliceCarry(
+        sl=sl_flat,
+        emb=emb0.astype(cdtype),
+        kcaches=jnp.zeros((L, b, na, bounds[0], da), cdtype),
+        vcaches=jnp.zeros((L, b, na, bounds[0], da), cdtype),
+        key=key,
+    )
+    start = 0
+    for end in bounds:
+        grow = end - carry.kcaches.shape[3]
+        if grow > 0:
+            pad = jnp.zeros((L, b, na, grow, da), cdtype)
+            carry = carry._replace(
+                kcaches=jnp.concatenate([carry.kcaches, pad], axis=3),
+                vcaches=jnp.concatenate([carry.vcaches, pad], axis=3),
+            )
+        carry, _ = jax.lax.scan(pixel_step, carry, jnp.arange(start, end))
+        start = end
     return carry.sl.reshape(b, nc, t, h, w), carry.key
