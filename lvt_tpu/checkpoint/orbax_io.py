@@ -49,10 +49,13 @@ def latest_checkpoint(output_dir: str) -> Optional[str]:
     return os.path.join(d, f"{_CKPT_PREFIX}{max(steps)}")
 
 
-def load_checkpoint(path: str, target: Any) -> Any:
-    """Restore a checkpoint into the structure of ``target``."""
+def load_checkpoint(path: str, target: Any, *, partial: bool = False) -> Any:
+    """Restore a checkpoint into the structure of ``target``; partial=True
+    restores only the keys present in target (e.g. params without
+    optimizer state for eval-only loads)."""
     with ocp.PyTreeCheckpointer() as ckptr:
-        return ckptr.restore(path, ocp.args.PyTreeRestore(item=target))
+        return ckptr.restore(
+            path, ocp.args.PyTreeRestore(item=target, partial_restore=partial))
 
 
 def resume_or_load(output_dir: str, target: Any, *, resume: bool = True) -> Any:

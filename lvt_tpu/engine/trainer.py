@@ -173,8 +173,14 @@ class Trainer(TrainerBase):
             self.flush_metrics()
 
     def _put_batch(self, batch):
-        return jax.tree_util.tree_map(
-            lambda x: jax.device_put(jnp.asarray(x), self._batch_sharding), batch)
+        """Move numeric batch fields onto the mesh; drop host-side metadata
+        (file names, video indices) the jitted step cannot take."""
+        out = {}
+        for k, v in batch.items():
+            arr = np.asarray(v) if not isinstance(v, jnp.ndarray) else v
+            if getattr(arr, "dtype", None) is not None and np.issubdtype(arr.dtype, np.number):
+                out[k] = jax.device_put(jnp.asarray(arr), self._batch_sharding)
+        return out
 
     def flush_metrics(self):
         pending, self._pending_metrics = self._pending_metrics, []

@@ -46,8 +46,8 @@ def load_vqvae_weights(model, params, state, enc_path, gen_path, cb_path):
 
     for p in (enc_path, gen_path, cb_path):
         if p and os.path.isdir(p):
-            tree = load_checkpoint(p, {"params": params, "model_state": state,
-                                       "step": 0})
+            tree = load_checkpoint(p, {"params": params, "model_state": state},
+                                  partial=True)
             return tree["params"], tree["model_state"]
 
     return load_pretrained_vqvae(

@@ -77,16 +77,14 @@ def main():
         else:
             from lvt_tpu.checkpoint import load_checkpoint
 
-            tree = load_checkpoint(gen_w, {"params": vt_params, "model_state": {},
-                                           "step": 0})
+            tree = load_checkpoint(gen_w, {"params": vt_params}, partial=True)
             vt_params = tree["params"]
     else:
         from lvt_tpu.checkpoint import latest_checkpoint, load_checkpoint
 
         ckpt = latest_checkpoint(cfg.OUTPUT_DIR)
         if ckpt:
-            tree = load_checkpoint(ckpt, {"params": vt_params, "model_state": {},
-                                          "step": 0})
+            tree = load_checkpoint(ckpt, {"params": vt_params}, partial=True)
             vt_params = tree["params"]
         else:
             print("WARNING: no VT weights found; sampling with random init")

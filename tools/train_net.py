@@ -52,7 +52,7 @@ def main(args):
 
         ckpt = latest_checkpoint(cfg.OUTPUT_DIR)
         if ckpt is not None:
-            tree = load_checkpoint(ckpt, {"params": params, "model_state": state, "step": 0})
+            tree = load_checkpoint(ckpt, {"params": params, "model_state": state}, partial=True)
             params, state = tree["params"], tree["model_state"]
         else:
             from lvt_tpu.evaluation.vt_sampler import load_vqvae_weights
