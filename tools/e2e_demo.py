@@ -1,0 +1,177 @@
+#!/usr/bin/env python
+"""Full two-stage pipeline demo on real hardware with synthetic data:
+
+  1. build a moving-squares video dataset (64x64 pngs, BAIR layout)
+  2. train the full-size PR-DVQVAE2 VQ-VAE on its frames
+  3. eval-only: MSE + CodesExtractor -> latent .npy dataset
+  4. train full-size DSFVT on the extracted codes
+  5. bits/dim eval + sample videos from priming frames -> pngs
+
+Exercises every stage of SURVEY.md §3's call stacks end to end on device.
+
+Usage: python tools/e2e_demo.py [--workdir /tmp/lvt_demo] [--iters1 300]
+       [--iters2 300]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+from PIL import Image
+
+
+def make_dataset(root, n_videos=64, n_frames=16, size=64, seed=0):
+    rng = np.random.default_rng(seed)
+    for v in range(n_videos):
+        d = os.path.join(root, f"video_{v}")
+        if os.path.exists(os.path.join(d, f"{n_frames - 1}.png")):
+            continue
+        os.makedirs(d, exist_ok=True)
+        # two moving colored squares on a gradient background
+        x0, y0 = rng.integers(5, 40, 2)
+        dx, dy = rng.integers(-3, 4, 2)
+        x1, y1 = rng.integers(5, 40, 2)
+        dx1, dy1 = rng.integers(-3, 4, 2)
+        c0 = rng.integers(100, 255, 3)
+        c1 = rng.integers(100, 255, 3)
+        yy, xx = np.mgrid[0:size, 0:size]
+        bg = np.stack([(xx * 2) % 200, (yy * 2) % 200, ((xx + yy)) % 200],
+                      -1).astype(np.uint8)
+        for t in range(n_frames):
+            img = bg.copy()
+            ax = int(np.clip(x0 + dx * t, 0, size - 12))
+            ay = int(np.clip(y0 + dy * t, 0, size - 12))
+            bx = int(np.clip(x1 + dx1 * t, 0, size - 8))
+            by = int(np.clip(y1 + dy1 * t, 0, size - 8))
+            img[ay : ay + 12, ax : ax + 12] = c0
+            img[by : by + 8, bx : bx + 8] = c1
+            Image.fromarray(img).save(os.path.join(d, f"{t}.png"))
+    print(f"dataset ready: {n_videos} videos at {root}")
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--workdir", default="/tmp/lvt_demo")
+    parser.add_argument("--iters1", type=int, default=300, help="VQ-VAE iters")
+    parser.add_argument("--iters2", type=int, default=300, help="DSFVT iters")
+    args = parser.parse_args()
+
+    import jax
+
+    from lvt_tpu.config import get_cfg
+    from lvt_tpu.data.catalog import DatasetCatalog, MetadataCatalog
+    from lvt_tpu.data.datasets.latents import get_latent_video_paths
+    from lvt_tpu.data import build_train_loader
+    from lvt_tpu.engine import Trainer
+    from lvt_tpu.engine.defaults import run_test
+    from lvt_tpu.models.vt import VideoTransformer
+    from lvt_tpu.parallel.mesh import build_mesh
+    from lvt_tpu.utils.image import get_video_paths
+
+    repo = os.path.join(os.path.dirname(__file__), "..")
+    wd = args.workdir
+    video_root = os.path.join(wd, "videos")
+    os.makedirs(video_root, exist_ok=True)
+    make_dataset(video_root)
+
+    DatasetCatalog.register("demo_train", lambda: get_video_paths(video_root, use_cache=False))
+    MetadataCatalog.get("demo_train").set(root=video_root)
+
+    # ---- stage 1: VQ-VAE training (full PR-DVQVAE2 architecture)
+    cfg = get_cfg()
+    cfg.merge_from_file(os.path.join(repo, "configs", "vqvae", "PR-DVQVAE2.yaml"))
+    cfg.DATASETS.TRAIN = ("demo_train",)
+    cfg.DATASETS.TEST = ("demo_train",)
+    cfg.INPUT.N_FRAMES_PER_VIDEO_TRAIN = 2  # frames per sampled clip
+    cfg.SOLVER.IMS_PER_BATCH = 16  # 16 clips x 2 frames = 32 frames/step
+    cfg.OUTPUT_DIR = os.path.join(wd, "vqvae_out")
+
+    t0 = time.perf_counter()
+    loader, _ = build_train_loader(cfg)
+    trainer = Trainer(cfg, loader, mesh=build_mesh())
+    trainer.train(0, args.iters1)
+    trainer.flush_metrics()
+    rec = trainer.storage.history("loss_reconstruction")
+    print(f"[stage1] VQ-VAE {args.iters1} iters in {time.perf_counter()-t0:.0f}s; "
+          f"recon {rec.values()[0][0]:.4f} -> {rec.median(20):.4f}")
+
+    # ---- stage 2: extract codes
+    t0 = time.perf_counter()
+    results = run_test(cfg, trainer.model, trainer.state.params,
+                       trainer.state.model_state)
+    print(f"[stage2] eval in {time.perf_counter()-t0:.0f}s: "
+          f"MSE={results['reconstruction']['MSE']:.5f}")
+    codes_root = os.path.join(cfg.OUTPUT_DIR, "inference", "demo_train")
+    n_code_videos = len([d for d in os.listdir(codes_root) if d.startswith("video_")])
+    print(f"[stage2] extracted codes for {n_code_videos} videos -> {codes_root}")
+
+    # ---- stage 3: DSFVT on the extracted codes
+    DatasetCatalog.register("demo_latents",
+                            lambda: get_latent_video_paths(codes_root, use_cache=False))
+    MetadataCatalog.get("demo_latents").set(root=codes_root)
+
+    vt_cfg = get_cfg()
+    vt_cfg.merge_from_file(os.path.join(repo, "configs", "vt", "DSFVT.yaml"))
+    vt_cfg.DATASETS.TRAIN = ("demo_latents",)
+    vt_cfg.DATASETS.TEST = ("demo_latents",)
+    vt_cfg.SOLVER.IMS_PER_BATCH = 16
+    vt_cfg.TEST.N_SAMPLES = 4
+    vt_cfg.OUTPUT_DIR = os.path.join(wd, "vt_out")
+    vt_cfg.TEST.VT_SAMPLER.VQ_VAE.CFG = os.path.join(repo, "configs", "vqvae",
+                                                     "PR-DVQVAE2.yaml")
+    # point the paired VQ-VAE at stage-1's orbax checkpoint... sampler decode
+    # happens manually below instead.
+
+    t0 = time.perf_counter()
+    vt_loader, _ = build_train_loader(vt_cfg)
+    vt = VideoTransformer(vt_cfg, T=16, H=16, W=16)
+    vt_trainer = Trainer(vt_cfg, vt_loader, model=vt, mesh=build_mesh())
+    vt_trainer.train(0, args.iters2)
+    vt_trainer.flush_metrics()
+    ce = vt_trainer.storage.history("loss_cross_entropy")
+    print(f"[stage3] DSFVT {args.iters2} iters in {time.perf_counter()-t0:.0f}s; "
+          f"CE {ce.values()[0][0]:.3f} -> {ce.median(20):.3f} nats "
+          f"(uniform = {np.log(512):.3f})")
+
+    # ---- stage 4: bits/dim eval + generation
+    import jax.numpy as jnp
+
+    from lvt_tpu.models import cast_floats
+
+    vt_cfg2 = vt_cfg.clone()
+    vt_cfg2.TEST.EVALUATORS = "BitsEvaluator"
+    t0 = time.perf_counter()
+    bits = run_test(vt_cfg2, vt, vt_trainer.state.params, {})
+    print(f"[stage4] bits/dim = {bits['likelihood']['bits_per_dim']:.3f} "
+          f"(uniform = {np.log2(512):.2f}) in {time.perf_counter()-t0:.0f}s")
+
+    # generation: prime with 5 frames of a training video's codes
+    lat = get_latent_video_paths(codes_root, use_cache=False)[0]
+    frames = [np.load(os.path.join(lat["video_root"], f)) for f in lat["latent_names"]]
+    video = np.stack(frames).transpose(1, 0, 2, 3)[None].astype(np.int32)  # (1, nc, T, h, w)
+    params_bf16 = cast_floats(vt_trainer.state.params, jnp.bfloat16)
+
+    t0 = time.perf_counter()
+    sample = jax.jit(lambda v, k: vt.sample_video(params_bf16, v, k, n_prime=5))(
+        jnp.asarray(video), jax.random.key(0))
+    sample.block_until_ready()
+    gen_t = time.perf_counter() - t0
+    # decode with the stage-1 VQ-VAE
+    idx = jnp.transpose(sample[0], (1, 2, 3, 0))  # (T, h, w, nc)
+    out = trainer.model.decode(trainer.state.params, trainer.state.model_state, idx)
+    out = np.clip(np.asarray(trainer.model.denormalize(out)) * 255.0, 0, 255).astype(np.uint8)
+    gen_dir = os.path.join(wd, "generated")
+    os.makedirs(gen_dir, exist_ok=True)
+    for i, frame in enumerate(out):
+        Image.fromarray(frame).save(os.path.join(gen_dir, f"{i}.png"))
+    print(f"[stage5] sampled+decoded 16 frames (incl compile {gen_t:.0f}s) -> {gen_dir}")
+    print("E2E DEMO OK")
+
+
+if __name__ == "__main__":
+    main()
