@@ -104,8 +104,8 @@ def make_train_step(model, optimizer, accumulation_steps: int = 1,
 
 class Trainer(TrainerBase):
     """End-to-end trainer for any meta-arch exposing init/train_loss
-    (reference Trainer, engine/trainer.py:9-128; GAN path is intentionally
-    not rebuilt — the reference ships no discriminator, SURVEY.md §2.5)."""
+    (reference Trainer, engine/trainer.py:9-128). The GAN-gated variant of
+    run_step lives in engine/gan.py (GanTrainer)."""
 
     def __init__(self, cfg, data_loader, model=None, mesh=None):
         super().__init__()
