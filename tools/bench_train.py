@@ -16,6 +16,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
 def _measure(trainer, steps):
+    trainer.metrics_period = 1  # per-step metric fetch -> fully synchronous
     trainer.train(0, 3)  # compile + warmup
     t0 = time.perf_counter()
     trainer.train(3, 3 + steps)
