@@ -31,6 +31,8 @@ def main():
     parser.add_argument("--iters", type=int, default=3)
     parser.add_argument("--dtype", default="bfloat16", choices=["bfloat16", "float32"],
                         help="sampling weight/activation dtype (softmax/logits stay fp32)")
+    parser.add_argument("--kv", default="native", choices=["native", "int8"],
+                        help="KV-cache storage dtype in the sampler")
     parser.add_argument("--full-recompute", action="store_true",
                         help="disable the KV-cached decoder (reference formulation)")
     parser.add_argument("--baseline-pixels", type=int, default=16,
@@ -76,7 +78,8 @@ def main():
         video = jnp.zeros((B, vt.c.nc, 16, 16, 16), jnp.int32)
         video = video.at[:, :, :n_prime].set(codes)
         sampled = vt.sample_video(vt_params, video, key, n_prime=n_prime,
-                                  incremental=not args.full_recompute)
+                                  incremental=not args.full_recompute,
+                                  kv_cache_dtype=args.kv)
         idx = jnp.transpose(sampled, (0, 2, 3, 4, 1)).reshape(B * 16, 16, 16, vt.c.nc)
         out = vq.decode(vq_params, vq_state, idx)
         return jnp.clip(vq.denormalize(out), 0.0, 1.0)
@@ -112,6 +115,7 @@ def main():
             "gen_seconds_best": round(best, 3),
             "ar_tokens_per_sec": round(tokens_per_sec, 1),
             "dtype": args.dtype,
+            "kv_cache": args.kv,
             "sampler": "full_recompute" if args.full_recompute else "kv_cache",
             "backend": jax.default_backend(),
         },

@@ -441,7 +441,8 @@ class VideoTransformer:
     # -- sampling ------------------------------------------------------------
     def sample_video(self, params, video, key, *, temp: float = 1.0,
                      n_prime: Optional[int] = None, class_idx=None,
-                     incremental: bool = True, greedy: bool = False):
+                     incremental: bool = True, greedy: bool = False,
+                     kv_cache_dtype: str = "native"):
         """AR-sample all non-primed positions (reference sample_video,
         vt.py:82-136) as a scan over slices x pixels, jit-compatible.
 
@@ -478,7 +479,7 @@ class VideoTransformer:
 
                     return sample_slice_incremental(
                         params["netG"], c, self.plan.slice_shape, zl, sl, key,
-                        primed, temp, greedy=greedy)
+                        primed, temp, greedy=greedy, kv_dtype=kv_cache_dtype)
                 return self._sample_slice_pixels(params, zl, sl, key, primed,
                                                  temp, greedy=greedy)
 

@@ -121,6 +121,8 @@ class SliceCarry(NamedTuple):
     emb: jnp.ndarray  # (b, thw, de) summed channel embeddings of final codes
     kcaches: jnp.ndarray  # (L, b, na, thw, da) stacked per-layer K cache
     vcaches: jnp.ndarray  # (L, b, na, thw, da)
+    kscales: jnp.ndarray  # (L, b, na, thw) per-row K scales (int8 mode; dummy otherwise)
+    vscales: jnp.ndarray  # (L, b, na, thw)
     key: jnp.ndarray
 
 
@@ -133,14 +135,22 @@ def _embed_sum_codes(dec, c: VTConfig, codes):
 
 
 def sample_slice_incremental(params, c: VTConfig, slice_shape, zl, sl, key,
-                             primed, temp, greedy: bool = False):
+                             primed, temp, greedy: bool = False,
+                             kv_dtype: str = "native"):
     """Exact AR sampling of one slice with cached decoder state.
 
     params: the netG tree; zl: (b, t, h, w, d) encoder output;
     sl: (b, nc, t, h, w) initial codes (primed positions already correct);
     primed: (thw,) bool. Returns (sl, key) like
     VideoTransformer._sample_slice_pixels.
+
+    kv_dtype: "native" keeps K/V in the param dtype (exact);
+    "int8" quantizes cache rows with per-(head, position) absmax scales —
+    the scales fold exactly into the attention algebra
+    (q.(K_int*s) = (q.K_int)*s and sum_j w_j s_j V_int_j), so the only
+    deviation is int8 rounding of K/V. Halves the dominant HBM traffic.
     """
+    use_int8 = kv_dtype == "int8"
     dec = params["decoder"]
     pred = params["predictor"]
     t, h, w = slice_shape
@@ -189,23 +199,38 @@ def sample_slice_incremental(params, c: VTConfig, slice_shape, zl, sl, key,
         # 4096-step pixel scan); the stacked cache layout is kept
         new_k = carry.kcaches
         new_v = carry.vcaches
+        new_ks = carry.kscales
+        new_vs = carry.vscales
         for l in range(L):
             lp: BlockAttnParams = dec["layers"][l]
             y = _layer_norm(x, lp.ln_scale, lp.ln_bias)
             qkv = (y @ wqkv[l]).reshape(b, 3, na, da)
             q, kk, vv = qkv[:, 0], qkv[:, 1], qkv[:, 2]
+            if use_int8:
+                sk = jnp.max(jnp.abs(kk), axis=-1).astype(cdtype) / 127.0
+                sv = jnp.max(jnp.abs(vv), axis=-1).astype(cdtype) / 127.0
+                kk = jnp.clip(jnp.round(kk / (sk[..., None] + 1e-8)),
+                              -127, 127).astype(jnp.int8)
+                vv = jnp.clip(jnp.round(vv / (sv[..., None] + 1e-8)),
+                              -127, 127).astype(jnp.int8)
+                new_ks = new_ks.at[l, :, :, p].set(sk)
+                new_vs = new_vs.at[l, :, :, p].set(sv)
             new_k = new_k.at[l, :, :, p].set(kk)
             new_v = new_v.at[l, :, :, p].set(vv)
             kc = new_k[l]
             vc = new_v[l]
 
-            logits = jnp.einsum("bak,bajk->baj", q, kc,
+            logits = jnp.einsum("bak,bajk->baj", q, kc.astype(cdtype),
                                 preferred_element_type=jnp.float32) / np.sqrt(da)
+            if use_int8:
+                logits = logits * new_ks[l].astype(jnp.float32)
             logits = logits + biasmasks[l, :, p, :cache_len][None]  # (b, na, cl)
             logits = jnp.where(pos_iota[None, None, :cache_len] > p,
                                jnp.float32(-1e9), logits)
-            wgt = jax.nn.softmax(logits, axis=-1).astype(vc.dtype)
-            out = jnp.einsum("baj,bajk->bak", wgt, vc).reshape(b, na * da)
+            wgt = jax.nn.softmax(logits, axis=-1).astype(cdtype)
+            if use_int8:
+                wgt = wgt * new_vs[l]  # fold V scales into the weights
+            out = jnp.einsum("baj,bajk->bak", wgt, vc.astype(cdtype)).reshape(b, na * da)
             x = out @ lp.proj + x
             # FFN at p
             yf = _layer_norm(x, lp.ffn_ln_scale, lp.ffn_ln_bias)
@@ -221,7 +246,7 @@ def sample_slice_incremental(params, c: VTConfig, slice_shape, zl, sl, key,
         sl_new = carry.sl.at[:, :, p].set(final)
         emb_new = carry.emb.at[:, p].set(
             _embed_sum_codes(dec, c, jnp.moveaxis(final, 1, -1)))
-        return SliceCarry(sl_new, emb_new, new_k, new_v, key), None
+        return SliceCarry(sl_new, emb_new, new_k, new_v, new_ks, new_vs, key), None
 
     sl_flat = sl.reshape(b, nc, thw)
     emb0 = _embed_sum_codes(dec, c, jnp.moveaxis(sl_flat, 1, -1))  # (b, thw, de)
@@ -236,22 +261,32 @@ def sample_slice_incremental(params, c: VTConfig, slice_shape, zl, sl, key,
     if bounds[-1] != thw:
         bounds.append(thw)
 
+    kv_store = jnp.int8 if use_int8 else cdtype
+    scale_len0 = bounds[0] if use_int8 else 1
     carry = SliceCarry(
         sl=sl_flat,
         emb=emb0.astype(cdtype),
-        kcaches=jnp.zeros((L, b, na, bounds[0], da), cdtype),
-        vcaches=jnp.zeros((L, b, na, bounds[0], da), cdtype),
+        kcaches=jnp.zeros((L, b, na, bounds[0], da), kv_store),
+        vcaches=jnp.zeros((L, b, na, bounds[0], da), kv_store),
+        kscales=jnp.zeros((L, b, na, scale_len0), cdtype),
+        vscales=jnp.zeros((L, b, na, scale_len0), cdtype),
         key=key,
     )
     start = 0
     for end in bounds:
         grow = end - carry.kcaches.shape[3]
         if grow > 0:
-            pad = jnp.zeros((L, b, na, grow, da), cdtype)
+            pad = jnp.zeros((L, b, na, grow, da), kv_store)
             carry = carry._replace(
                 kcaches=jnp.concatenate([carry.kcaches, pad], axis=3),
                 vcaches=jnp.concatenate([carry.vcaches, pad], axis=3),
             )
+            if use_int8:
+                spad = jnp.zeros((L, b, na, grow), cdtype)
+                carry = carry._replace(
+                    kscales=jnp.concatenate([carry.kscales, spad], axis=3),
+                    vscales=jnp.concatenate([carry.vscales, spad], axis=3),
+                )
         carry, _ = jax.lax.scan(pixel_step, carry, jnp.arange(start, end))
         start = end
     return carry.sl.reshape(b, nc, t, h, w), carry.key
