@@ -47,7 +47,7 @@ def main():
     from lvt_tpu.config import get_cfg
     from lvt_tpu.models import cast_floats
     from lvt_tpu.models.vqvae import VQVAE
-    from lvt_tpu.models.vt import VideoTransformer, vt_decode, vt_encode
+    from lvt_tpu.models.vt import VideoTransformer
 
     root = os.path.dirname(os.path.abspath(__file__))
 

@@ -157,7 +157,8 @@ def _apply_attn_stack(x, layers, blocks, masked, *, use_pallas=None,
     smaller HLO, ~L x faster compiles than Python unrolling; heterogeneous
     stacks fall back to the unrolled loop.
     """
-    homogeneous = len(set(blocks)) == 1 and len(layers) > 1
+    homogeneous = (len(set(blocks)) == 1 and len(layers) > 1
+                   and len({tuple(l.wq.shape) for l in layers}) == 1)
 
     def one(xx, pp, blk):
         return block_local_attention(xx, pp, blk, masked=masked,

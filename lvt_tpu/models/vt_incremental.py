@@ -165,6 +165,9 @@ def sample_slice_incremental(params, c: VTConfig, slice_shape, zl, sl, key,
     conv_w = dec["conv_w"].reshape(-1, c.de, c.d)[jnp.asarray(tap_ids_np)]
     pos_rows = jnp.asarray(posenc_rows((t, h, w), c.d))  # (thw, d)
 
+    assert len({tuple(lp.wq.shape) for lp in dec["layers"]}) == 1, (
+        "incremental sampler needs one head count across decoder layers; "
+        "use sample_video(incremental=False) for heterogeneous stacks")
     cdtype = dec["conv_w"].dtype  # follows the (possibly bf16) param dtype
     zlproj = (zl @ dec["projector"]).reshape(b, thw, c.d)
     biasmasks = jnp.stack([
