@@ -72,36 +72,64 @@ class _PrefetchLoader:
             idx = int(self._fallback_rng.integers(len(self._dicts)))
         raise RuntimeError(f"Mapper failed {self._max_retries} times in a row")
 
-    def _produce(self, q: queue.Queue):
+    @staticmethod
+    def _put(q: queue.Queue, stop: threading.Event, item) -> bool:
+        """Bounded put that gives up when the consumer is gone (a dropped
+        iterator must not leave the producer blocked on a full queue)."""
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.1)
+                return True
+            except queue.Full:
+                continue
+        return False
+
+    def _produce(self, q: queue.Queue, stop: threading.Event):
         from concurrent.futures import ThreadPoolExecutor
 
         try:
             with ThreadPoolExecutor(self._workers) as pool:
                 batch_idx: List[int] = []
                 for idx in self._index_iter_factory():
+                    if stop.is_set():
+                        return
                     batch_idx.append(int(idx))
                     if len(batch_idx) == self._batch:
                         samples = list(pool.map(self._map_one, batch_idx))
-                        q.put(collate(samples))
+                        if not self._put(q, stop, collate(samples)):
+                            return
                         batch_idx = []
                 if batch_idx and not self._drop_last:
                     samples = list(pool.map(self._map_one, batch_idx))
-                    q.put(collate(samples))
+                    if not self._put(q, stop, collate(samples)):
+                        return
         except Exception as e:  # surface loader errors in the consumer
-            q.put(e)
-        q.put(None)
+            self._put(q, stop, e)
+        self._put(q, stop, None)
 
     def __iter__(self) -> Iterator[dict]:
         q: queue.Queue = queue.Queue(maxsize=4)
-        t = threading.Thread(target=self._produce, args=(q,), daemon=True)
+        stop = threading.Event()
+        t = threading.Thread(target=self._produce, args=(q, stop), daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is None:
-                return
-            if isinstance(item, Exception):
-                raise item
-            yield item
+        try:
+            while True:
+                item = q.get()
+                if item is None:
+                    return
+                if isinstance(item, Exception):
+                    raise item
+                yield item
+        finally:
+            # runs on normal exhaustion AND on GeneratorExit when the
+            # consumer drops the iterator: unblock + terminate the producer
+            stop.set()
+            try:
+                while True:
+                    q.get_nowait()
+            except queue.Empty:
+                pass
+            t.join(timeout=5.0)
 
 
 def build_train_loader(cfg, mapper: Optional[DatasetMapper] = None):

@@ -10,6 +10,7 @@ evaluation.inference_on_dataset, replacing the reference's
 import argparse
 import logging
 import os
+import weakref
 from collections import OrderedDict
 
 import jax
@@ -95,24 +96,47 @@ def default_setup(cfg, args):
 # Inference adapters
 # --------------------------------------------------------------------------
 
+# Jits are built ONCE per (model, task) and reused across every run_test /
+# EvalHook invocation — params flow in as arguments, never closed over, so
+# periodic eval re-pays zero trace/compile time (the VT sampling scan takes
+# ~10 min to compile on TPU). WeakKeyDictionary: cache dies with the model.
+_JIT_CACHE = weakref.WeakKeyDictionary()
+TRACE_COUNTS = {}  # (id(model), *key) -> number of actual traces (test hook)
+
+
+def _cached_jit(model, key, fn):
+    """jit ``fn`` once per (model instance, key); counts real traces."""
+    cache = _JIT_CACHE.setdefault(model, {})
+    if key not in cache:
+        count_key = (id(model),) + key
+
+        def counted(*args, **kwargs):
+            TRACE_COUNTS[count_key] = TRACE_COUNTS.get(count_key, 0) + 1
+            return fn(*args, **kwargs)
+
+        cache[key] = jax.jit(counted)
+    return cache[key]
+
+
 def build_vqvae_infer_fn(cfg, model, params, state):
     """Per-video reconstruction + latent extraction (reference
     AutoEncoderModel.forward mode='inference', ae.py:120-147)."""
     clamp_hi = 1.0 if cfg.INPUT.SCALE_TO_ZEROONE else 255.0
 
-    @jax.jit
-    def run(frames):  # (T, H, W, C)
+    def run(params, state, frames):  # (T, H, W, C)
         x = model.normalize(frames)
         recon, idx = model.reconstruct(params, state, x)
         recon = jnp.clip(model.denormalize(recon), 0.0, clamp_hi)
         return recon, idx
+
+    run_jit = _cached_jit(model, ("vqvae_infer", clamp_hi), run)
 
     def infer(batch):
         outputs = []
         key = "image_sequence" if "image_sequence" in batch else "image"
         arr = batch[key]
         for i in range(len(arr)):
-            recon, idx = run(jnp.asarray(arr[i]))
+            recon, idx = run_jit(params, state, jnp.asarray(arr[i]))
             outputs.append({
                 "reconstruction": np.asarray(recon),
                 # (T, h, w, nc) -> reference layout (T, nc, h, w)
@@ -137,10 +161,12 @@ def build_vt_infer_fn(cfg, model, params, *, rng=None):
         rng = jax.random.key(max(cfg.SEED, 0))
     rng_holder = {"key": rng}
 
-    logits_fn = jax.jit(lambda v, cls: model.logits_for_entire_video(
-        params, v, class_idx=cls)) if want_logits else None
+    logits_fn = _cached_jit(
+        model, ("vt_logits",),
+        lambda params, v, cls: model.logits_for_entire_video(
+            params, v, class_idx=cls)) if want_logits else None
 
-    def _sample(v, cls, key):
+    def _sample(params, v, cls, key):
         # all num_samples rollouts ride the batch dimension of ONE jitted
         # sample_video call (the reference loops sample_video num_samples
         # times, vt.py:221-223)
@@ -151,7 +177,9 @@ def build_vt_infer_fn(cfg, model, params, *, rng=None):
                                  n_prime=n_prime_sample, class_idx=crep)
         return out.reshape((num_samples,) + v.shape)
 
-    sample_fn = jax.jit(_sample) if want_samples else None
+    sample_fn = _cached_jit(
+        model, ("vt_sample", num_samples, n_prime_sample),
+        _sample) if want_samples else None
 
     def infer(batch):
         video = jnp.asarray(batch["video"])  # (b, nc, T, H, W)
@@ -161,14 +189,14 @@ def build_vt_infer_fn(cfg, model, params, *, rng=None):
         outputs = [{} for _ in range(b)]
 
         if want_logits:
-            lg = np.asarray(logits_fn(video, cls))
+            lg = np.asarray(logits_fn(params, video, cls))
             ignore_t = np.arange(T) < n_prime_eval
             for i in range(b):
                 outputs[i]["logits"] = lg[i]
                 outputs[i]["ignore_t"] = ignore_t
         if want_samples:
             rng_holder["key"], sub = jax.random.split(rng_holder["key"])
-            samples = np.asarray(sample_fn(video, cls, sub))  # (S, b, ...)
+            samples = np.asarray(sample_fn(params, video, cls, sub))  # (S, b, ...)
             for i in range(b):
                 outputs[i]["samples"] = [samples[s, i] for s in range(num_samples)]
         assert all(outputs), "No evaluator-compatible output produced"

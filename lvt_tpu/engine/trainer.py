@@ -127,10 +127,8 @@ class Trainer(TrainerBase):
         state = TrainState(params=params, model_state=mstate,
                            opt_state=opt_state, accum_grads=accum_grads,
                            step=jnp.zeros((), jnp.int32))
-        # replicate across the mesh
-        rep = replicated(self.mesh)
-        self.state = jax.device_put(state, rep)
-        self._step_key = jax.device_put(self._step_key, rep)
+        self.state = self._place_state(state)
+        self._step_key = jax.device_put(self._step_key, replicated(self.mesh))
         self._batch_sharding = batch_sharding(self.mesh)
 
         cdt = cfg.TPU.COMPUTE_DTYPE
@@ -147,6 +145,22 @@ class Trainer(TrainerBase):
         n = param_count(params)
         logger.info(f"Model has {n / 1e6:.2f}M parameters; "
                     f"mesh {self.mesh.shape}; accumulation={accum}")
+
+    def _place_state(self, state: TrainState) -> TrainState:
+        """Lay the train state out on the mesh: replicated when the model
+        axis is trivial, tensor-parallel (parallel/sharding.py rules) when
+        TPU.MESH_MODEL > 1. Used at init and again after checkpoint restore
+        so resumed state keeps the same layout."""
+        from ..parallel.mesh import MODEL_AXIS
+        from ..parallel.sharding import shard_tree, sharded_field_names
+
+        if dict(self.mesh.shape).get(MODEL_AXIS, 1) > 1:
+            placed = shard_tree(self.mesh, state)
+            fields = (sharded_field_names(self.mesh, state.params)
+                      | sharded_field_names(self.mesh, state.model_state))
+            logger.info(f"Tensor-parallel fields: {sorted(fields)}")
+            return placed
+        return jax.device_put(state, replicated(self.mesh))
 
     # -- step ---------------------------------------------------------------
     def run_step(self):
@@ -218,9 +232,9 @@ class Trainer(TrainerBase):
         if path is None:
             return 0
         restored = load_checkpoint(path, self.checkpoint_tree())
-        self.state = self.state._replace(
+        self.state = self._place_state(self.state._replace(
             params=restored["params"], model_state=restored["model_state"],
-            opt_state=restored["opt_state"], step=jnp.asarray(restored["step"]))
+            opt_state=restored["opt_state"], step=jnp.asarray(restored["step"])))
         start = int(restored["step"])
         logger.info(f"Resumed from {path} at iteration {start}")
         return start

@@ -148,3 +148,53 @@ def test_train_and_test_loaders_end_to_end(tmp_path):
     assert len(batches) == 4  # batch size 1, exact cover
     assert batches[0]["video"].shape == (1, 4, 16, 8, 8)
     assert batches[0]["video_idx"] == [0]
+
+
+def test_dropped_iterator_stops_producer_thread():
+    """A consumer that abandons the (infinite) loader mid-stream must not
+    leave a producer thread alive and blocked on the prefetch queue."""
+    import gc
+    import itertools
+    import threading
+    import time
+
+    from lvt_tpu.data.build import _PrefetchLoader
+
+    dicts = [{"i": i} for i in range(8)]
+    loader = _PrefetchLoader(
+        dicts, lambda d: {"image": np.zeros((4, 4, 3), np.float32)},
+        lambda: itertools.cycle(range(8)), batch_size=2, num_workers=2,
+        drop_last=True, infinite=True)
+
+    before = threading.active_count()
+    it = iter(loader)
+    next(it)
+    assert threading.active_count() > before  # producer is running
+    it.close()  # what del/GC does: GeneratorExit at the yield
+    del it
+    gc.collect()
+    deadline = time.time() + 10.0
+    while threading.active_count() > before and time.time() < deadline:
+        time.sleep(0.05)
+    assert threading.active_count() == before, (
+        f"producer leaked: {[t.name for t in threading.enumerate()]}")
+
+
+def test_exhausted_iterator_leaves_no_thread():
+    import threading
+    import time
+
+    from lvt_tpu.data.build import _PrefetchLoader
+
+    dicts = [{"i": i} for i in range(6)]
+    loader = _PrefetchLoader(
+        dicts, lambda d: {"image": np.zeros((2, 2, 3), np.float32)},
+        lambda: iter(range(6)), batch_size=2, num_workers=2,
+        drop_last=False, infinite=False)
+
+    before = threading.active_count()
+    assert len(list(iter(loader))) == 3
+    deadline = time.time() + 10.0
+    while threading.active_count() > before and time.time() < deadline:
+        time.sleep(0.05)
+    assert threading.active_count() == before

@@ -72,3 +72,30 @@ def test_eval_hook_runs_during_training(tmp_path):
     assert all(np.isfinite(c["reconstruction"]["MSE"]) for c in calls)
     # metrics landed in storage under eval/
     assert "eval/reconstruction/MSE" in trainer.storage.histories()
+
+    # the 3 evals shared ONE traced/compiled infer fn (the ~10-min TPU
+    # sampling compile must be paid once per run, not per EVAL_PERIOD)
+    from lvt_tpu.engine.defaults import TRACE_COUNTS
+    traces = {k: v for k, v in TRACE_COUNTS.items() if k[0] == id(trainer.model)}
+    assert traces, "no trace counts recorded"
+    assert all(v == 1 for v in traces.values()), traces
+
+
+def test_cached_jit_builds_once_per_model_and_key():
+    import jax.numpy as jnp
+
+    from lvt_tpu.engine.defaults import TRACE_COUNTS, _cached_jit
+
+    class M:
+        pass
+
+    m = M()
+    f1 = _cached_jit(m, ("k",), lambda x: x + 1)
+    f2 = _cached_jit(m, ("k",), lambda x: x + 1)
+    assert f1 is f2
+    np.testing.assert_allclose(f1(jnp.ones(3)), 2.0)
+    np.testing.assert_allclose(f2(jnp.ones(3)), 2.0)
+    assert TRACE_COUNTS[(id(m), "k")] == 1
+    # different key -> different jit
+    f3 = _cached_jit(m, ("other",), lambda x: x * 3)
+    assert f3 is not f1
