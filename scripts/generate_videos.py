@@ -36,6 +36,10 @@ def load_priming_frames(video_dir, n_prime):
     from lvt_tpu.utils.image import get_image_paths, read_image
 
     paths = [x["image_path"] for x in get_image_paths(video_dir, use_cache=False)]
+    if len(paths) < n_prime:
+        raise SystemExit(
+            f"--video-dir {video_dir!r} holds {len(paths)} image(s); "
+            f"need at least TEST.VT_SAMPLER.N_PRIME={n_prime} priming frames")
     frames = np.stack([read_image(p, "RGB") for p in paths[:n_prime]], axis=0)
     return frames.astype(np.float32)  # (n_prime, H, W, 3)
 
@@ -61,8 +65,23 @@ def main():
     total_frames = cfg.INPUT.N_FRAMES_PER_VIDEO_TEST
     assert total_frames > 0
 
-    # --- stage 0: models + weights
-    vt = VideoTransformer(cfg, T=total_frames)
+    # --- stage 0: VQ-VAE + priming frames (encode once, eagerly, to learn
+    # the latent grid size — the VT geometry is derived from it, not assumed)
+    vqvae, vq_params, vq_state, vq_cfg = load_paired_vqvae(cfg)
+    scale01 = vq_cfg.INPUT.SCALE_TO_ZEROONE
+
+    frames = load_priming_frames(args.video_dir, n_prime)
+    if scale01:
+        frames = frames / 255.0
+    print(f"Loaded {len(frames)} priming frames")
+
+    codes = jax.jit(lambda f: jnp.transpose(
+        vqvae.encode(vq_params, vq_state, vqvae.normalize(f)),
+        (3, 0, 1, 2)))(jnp.asarray(frames))  # (nc, n_prime, h, w)
+    nc, _, h, w = codes.shape
+
+    # --- stage 1: VT model + weights on the measured (T, h, w) geometry
+    vt = VideoTransformer(cfg, T=total_frames, H=h, W=w)
     vt_params, _ = vt.init(jax.random.key(0))
     gen_w = cfg.MODEL.GENERATOR.WEIGHTS
     if gen_w and os.path.exists(gen_w):
@@ -89,21 +108,9 @@ def main():
         else:
             print("WARNING: no VT weights found; sampling with random init")
 
-    vqvae, vq_params, vq_state, vq_cfg = load_paired_vqvae(cfg)
-    scale01 = vq_cfg.INPUT.SCALE_TO_ZEROONE
-
-    # --- stage 1: load + encode priming frames
-    frames = load_priming_frames(args.video_dir, n_prime)
-    if scale01:
-        frames = frames / 255.0
-    print(f"Loaded {len(frames)} priming frames")
-
+    # --- stage 2: jitted rollout + decode (one dispatch)
     @jax.jit
-    def generate(frames, key):
-        x = vqvae.normalize(jnp.asarray(frames))
-        codes = vqvae.encode(vq_params, vq_state, x)  # (n_prime, h, w, nc)
-        codes = jnp.transpose(codes, (3, 0, 1, 2))  # (nc, n_prime, h, w)
-        nc, _, h, w = codes.shape
+    def generate(codes, key):
         video = jnp.zeros((1, nc, total_frames, h, w), jnp.int32)
         video = video.at[0, :, :n_prime].set(codes)
         sampled = vt.sample_video(vt_params, video, key, n_prime=n_prime)[0]
@@ -115,7 +122,7 @@ def main():
             out = out * 255.0
         return jnp.clip(out, 0.0, 255.0)
 
-    video = np.asarray(generate(frames, jax.random.key(args.seed))).astype(np.uint8)
+    video = np.asarray(generate(codes, jax.random.key(args.seed))).astype(np.uint8)
     print("Sampled new video.")
 
     os.makedirs(cfg.OUTPUT_DIR, exist_ok=True)
