@@ -23,6 +23,7 @@ from ..evaluation import (
     BitsEvaluator,
     CodesExtractor,
     DatasetEvaluators,
+    FVDEvaluator,
     MSEEvaluator,
     VTSampler,
     inference_on_dataset,
@@ -43,6 +44,7 @@ EVALUATOR_REGISTRY = {
     "BitsEvaluator": BitsEvaluator,
     "CodesExtractor": CodesExtractor,
     "VTSampler": VTSampler,
+    "FVDEvaluator": FVDEvaluator,
 }
 
 
@@ -153,7 +155,7 @@ def build_vt_infer_fn(cfg, model, params, *, rng=None):
     mode='inference', vt.py:192-206)."""
     evaluators = cfg.TEST.EVALUATORS
     want_logits = "BitsEvaluator" in evaluators
-    want_samples = "VTSampler" in evaluators
+    want_samples = ("VTSampler" in evaluators) or ("FVDEvaluator" in evaluators)
     n_prime_eval = cfg.MODEL.AUTOREGRESSIVE.VT.N_PRIME
     n_prime_sample = cfg.TEST.VT_SAMPLER.N_PRIME
     num_samples = cfg.TEST.VT_SAMPLER.NUM_SAMPLES
@@ -210,7 +212,7 @@ def build_evaluators(cfg, dataset_name, output_dir):
     evs = []
     for name in names:
         cls = EVALUATOR_REGISTRY[name]
-        if name == "VTSampler":
+        if name in ("VTSampler", "FVDEvaluator"):
             evs.append(cls(cfg, dataset_name, distributed=True, output_dir=output_dir))
         else:
             evs.append(cls(dataset_name, distributed=True, output_dir=output_dir))

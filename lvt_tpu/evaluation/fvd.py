@@ -1,0 +1,189 @@
+"""Fréchet Video Distance (the paper's headline metric, arXiv:2006.10704)
+behind the standard evaluator protocol (fits vidgen/evaluation/evaluator.py:14
+— the reference itself ships NO FVD evaluator; this is new capability).
+
+FVD = |mu_r - mu_g|^2 + tr(S_r + S_g - 2 (S_r^{1/2} S_g S_r^{1/2})^{1/2}),
+computed over I3D logits of real vs generated RGB videos. The feature
+network is pluggable:
+
+* ``TEST.FVD.I3D_WEIGHTS`` set -> the real I3D (evaluation/i3d.py) with
+  converted Kinetics-400 weights (.npz).
+* unset -> a deterministic stub conv feature net, so the whole pipeline is
+  exercisable (and unit-tested) without the 300 MB checkpoint; the metric is
+  then labeled ``FVD_stub`` to prevent accidental paper-number comparisons.
+"""
+
+import logging
+from collections import OrderedDict
+from typing import Callable, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..utils import comm
+from .evaluator import DatasetEvaluator
+
+logger = logging.getLogger(__name__)
+
+
+# --------------------------------------------------------------------------
+# Fréchet distance (host-side, numpy)
+# --------------------------------------------------------------------------
+
+def _sqrtm_psd(m: np.ndarray) -> np.ndarray:
+    """Matrix square root of a symmetric PSD matrix via eigh (no scipy)."""
+    vals, vecs = np.linalg.eigh(m)
+    vals = np.clip(vals, 0.0, None)
+    return (vecs * np.sqrt(vals)) @ vecs.T
+
+
+def frechet_distance(mu1, sigma1, mu2, sigma2) -> float:
+    """Fréchet distance between two Gaussians. The cross term uses the
+    symmetric form tr((S1^{1/2} S2 S1^{1/2})^{1/2}) — numerically stable and
+    equal to tr((S1 S2)^{1/2}) for PSD inputs."""
+    mu1, mu2 = np.asarray(mu1, np.float64), np.asarray(mu2, np.float64)
+    sigma1 = np.asarray(sigma1, np.float64)
+    sigma2 = np.asarray(sigma2, np.float64)
+    diff = mu1 - mu2
+    s1_half = _sqrtm_psd(sigma1)
+    cross = _sqrtm_psd(s1_half @ sigma2 @ s1_half)
+    return float(diff @ diff + np.trace(sigma1) + np.trace(sigma2)
+                 - 2.0 * np.trace(cross))
+
+
+def gaussian_stats(feats: np.ndarray):
+    """(n, d) features -> (mu, sigma)."""
+    feats = np.asarray(feats, np.float64)
+    mu = feats.mean(axis=0)
+    sigma = np.cov(feats, rowvar=False)
+    if sigma.ndim == 0:  # d == 1
+        sigma = sigma.reshape(1, 1)
+    return mu, sigma
+
+
+def fvd_from_features(real: np.ndarray, fake: np.ndarray) -> float:
+    mu_r, s_r = gaussian_stats(real)
+    mu_f, s_f = gaussian_stats(fake)
+    return frechet_distance(mu_r, s_r, mu_f, s_f)
+
+
+# --------------------------------------------------------------------------
+# Feature networks
+# --------------------------------------------------------------------------
+
+def make_i3d_features(weights_path: str, resize: int = 224) -> Callable:
+    """The real thing: videos (b, T, H, W, 3) uint8/[0,255] -> (b, 400)."""
+    from .i3d import i3d_apply, load_i3d_npz
+
+    params = load_i3d_npz(weights_path)
+
+    @jax.jit
+    def features(video):
+        x = video.astype(jnp.float32) / 127.5 - 1.0  # [-1, 1]
+        b, t = x.shape[:2]
+        x = jax.image.resize(x, (b, t, resize, resize, 3), method="bilinear")
+        return i3d_apply(params, x)
+
+    return features
+
+
+def make_stub_features(dim: int = 64, seed: int = 0) -> Callable:
+    """Deterministic tiny conv3d feature net: exercises the identical
+    pipeline (decode -> resize -> features -> Fréchet) without I3D weights.
+    NOT comparable to published FVD numbers."""
+    key = jax.random.key(seed)
+    k1, k2 = jax.random.split(key)
+    w1 = jax.random.normal(k1, (3, 5, 5, 3, 16)) * 0.1
+    w2 = jax.random.normal(k2, (3, 3, 3, 16, dim)) * 0.1
+
+    @jax.jit
+    def features(video):
+        x = video.astype(jnp.float32) / 127.5 - 1.0
+        dn = ("NDHWC", "DHWIO", "NDHWC")
+        x = jax.nn.relu(jax.lax.conv_general_dilated(
+            x, w1, (1, 2, 2), "SAME", dimension_numbers=dn))
+        x = jax.nn.relu(jax.lax.conv_general_dilated(
+            x, w2, (1, 2, 2), "SAME", dimension_numbers=dn))
+        return jnp.mean(x, axis=(1, 2, 3))  # (b, dim)
+
+    return features
+
+
+# --------------------------------------------------------------------------
+# Evaluator
+# --------------------------------------------------------------------------
+
+class FVDEvaluator(DatasetEvaluator):
+    """Consumes VT sampling outputs: decodes ground-truth and sampled latent
+    codes through the paired VQ-VAE (like VTSampler) and accumulates feature
+    vectors; evaluate() gathers across ranks and reports the Fréchet
+    distance."""
+
+    def __init__(self, cfg, dataset_name, distributed=True, output_dir=None,
+                 feature_fn: Optional[Callable] = None):
+        from .vt_sampler import load_paired_vqvae
+
+        self._dataset_name = dataset_name
+        self._distributed = distributed
+
+        self.vqvae, self._vq_params, self._vq_state, vq_cfg = load_paired_vqvae(cfg)
+        self._scale01 = vq_cfg.INPUT.SCALE_TO_ZEROONE
+        self._decode = jax.jit(
+            lambda idx: self.vqvae.decode(self._vq_params, self._vq_state, idx))
+
+        weights = cfg.TEST.FVD.I3D_WEIGHTS
+        if feature_fn is not None:
+            self._features = feature_fn
+            self._metric = "FVD"
+        elif weights:
+            self._features = make_i3d_features(weights, cfg.TEST.FVD.RESIZE)
+            self._metric = "FVD"
+        else:
+            logger.warning(
+                "TEST.FVD.I3D_WEIGHTS not set: using the stub feature net. "
+                "The reported value is pipeline-valid but NOT comparable to "
+                "published FVD numbers.")
+            self._features = make_stub_features()
+            self._metric = "FVD_stub"
+        self.reset()
+
+    def reset(self):
+        self._real: List[np.ndarray] = []
+        self._fake: List[np.ndarray] = []
+
+    def _codes_to_rgb(self, codes: np.ndarray) -> np.ndarray:
+        """(nc, T, h, w) codes -> (T, H, W, 3) float frames in [0, 255]."""
+        idx = np.transpose(codes, (1, 2, 3, 0))  # (T, h, w, nc)
+        frames = self._decode(idx)
+        frames = self.vqvae.denormalize(frames)
+        frames = np.asarray(frames)
+        if self._scale01:
+            frames = frames * 255.0
+        return np.clip(frames, 0.0, 255.0)
+
+    def process(self, inputs, outputs):
+        for inp, out in zip(inputs, outputs):
+            if "samples" not in out:
+                continue
+            real = self._codes_to_rgb(np.asarray(inp["video"]))
+            self._real.append(np.asarray(self._features(real[None]))[0])
+            for sample in out["samples"]:
+                sample = np.asarray(sample)
+                fake = self._codes_to_rgb(sample)
+                self._fake.append(np.asarray(self._features(fake[None]))[0])
+
+    def evaluate(self):
+        real, fake = self._real, self._fake
+        if self._distributed:
+            comm.synchronize()
+            real = [f for part in comm.gather(real) for f in part]
+            fake = [f for part in comm.gather(fake) for f in part]
+            if not comm.is_main_process():
+                return None
+        if len(real) < 2 or len(fake) < 2:
+            logger.warning(f"FVD needs >=2 real and fake videos; got "
+                           f"{len(real)}/{len(fake)}")
+            return OrderedDict({"generation": {self._metric: float("nan")}})
+        value = fvd_from_features(np.stack(real), np.stack(fake))
+        return OrderedDict({"generation": {self._metric: value}})

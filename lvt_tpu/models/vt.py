@@ -301,10 +301,22 @@ class VideoTransformer:
         self.cfg = cfg
         self.c = VTConfig.from_cfg(cfg)
         self.T, self.H, self.W = T, H, W
-        self.plan = ss.build_plan(*self.c.stride, T, H, W, *self.c.kernel)
+        self._plans = {}
+        self.plan = self._plan_for(T, H, W)  # default geometry
         self.ignore_index = cfg.MODEL.IGNORE_INDEX
         self.use_pallas: Optional[bool] = None
         self.remat = bool(cfg.TPU.REMAT)
+
+    def _plan_for(self, T: int, H: int, W: int):
+        """Subscale gather plan for one latent geometry. Params are
+        geometry-independent, so one model instance serves any (T, H, W)
+        the data presents — plans are built lazily at trace time from the
+        input shapes (the constructor's T/H/W are just the default)."""
+        key = (T, H, W)
+        if key not in self._plans:
+            self._plans[key] = ss.build_plan(*self.c.stride, T, H, W,
+                                             *self.c.kernel)
+        return self._plans[key]
 
     def init(self, key):
         """Returns (params, model_state); the VT keeps no mutable state."""
@@ -318,26 +330,27 @@ class VideoTransformer:
         video: (b, nc, T, H, W) codes; slice_idx: (b,) int32.
         Returns (context, slice_codes, ignore_mask).
         """
-        b, nc = video.shape[:2]
+        b, nc, T, H, W = video.shape
+        plan = self._plan_for(T, H, W)
         vflat = video.reshape(b, nc, -1)
-        ctx_maps = jnp.asarray(self.plan.ctx_src)  # (S, T', H', W')
-        sl_maps = jnp.asarray(self.plan.slice_src)  # (S, t, h, w)
+        ctx_maps = jnp.asarray(plan.ctx_src)  # (S, T', H', W')
+        sl_maps = jnp.asarray(plan.slice_src)  # (S, t, h, w)
 
         def per_sample(vf, sidx):
             ctx = ss.gather_context(vf, ctx_maps[sidx], self.c.pad_value)
             sl = ss.gather_slice(vf, sl_maps[sidx])
-            frame = sl_maps[sidx] // (self.H * self.W)  # video frame per slice pos
+            frame = sl_maps[sidx] // (H * W)  # video frame per slice pos
             ignore = frame < self.c.n_prime
             return ctx, sl, ignore
 
         return jax.vmap(per_sample)(vflat, slice_idx)
 
-    def sample_train_slice_idx(self, key, batch: int):
+    def sample_train_slice_idx(self, key, batch: int, T: Optional[int] = None):
         """Random (a,b,c) per sample. For the single-frame geometry (t==1,
         sh==sw==1) the reference draws a in [n_prime, st-1]
         (dataset_mapper.py:124-125) so fully-primed slices are never trained."""
         st, sh, sw = self.c.stride
-        t = self.T // st
+        t = (self.T if T is None else T) // st
         if t == 1 and sh == 1 and sw == 1:
             lo = self.c.n_prime
         else:
@@ -353,7 +366,7 @@ class VideoTransformer:
         video = batch["video"]
         b = video.shape[0]
         k_idx, _ = jax.random.split(rng)
-        slice_idx = self.sample_train_slice_idx(k_idx, b)
+        slice_idx = self.sample_train_slice_idx(k_idx, b, T=video.shape[2])
         ctx, slice_codes, ignore = self.prepare_slices(video, slice_idx)
         class_idx = batch.get("class") if self.c.class_num > 0 else None
 
@@ -388,12 +401,13 @@ class VideoTransformer:
         from .vt_incremental import sample_slice_incremental
 
         video = jnp.asarray(batch["video"][:1])
-        s = min(self.c.n_prime, self.plan.num_slices - 1)
+        plan = self._plan_for(*video.shape[2:])
+        s = min(self.c.n_prime, plan.num_slices - 1)
         slice_idx = jnp.asarray([s], jnp.int32)
         ctx, gt_slice, _ = self.prepare_slices(video, slice_idx)
         zl = vt_encode(params["netG"], self.c, ctx, slice_idx,
                        use_pallas=self.use_pallas)
-        t, h, w = self.plan.slice_shape
+        t, h, w = plan.slice_shape
         primed = jnp.zeros((t * h * w,), bool)
         sampled, _ = sample_slice_incremental(
             params["netG"], self.c, (t, h, w), zl,
@@ -417,12 +431,13 @@ class VideoTransformer:
         video: (b, nc, T, H, W) -> logits (b, T, H, W, nc, nv), plus the
         prime-frame ignore mask (T,) broadcastable.
         """
-        b, nc = video.shape[:2]
+        b, nc, T, H, W = video.shape
+        plan = self._plan_for(T, H, W)
         vflat = video.reshape(b, nc, -1)
-        ctx_maps = jnp.asarray(self.plan.ctx_src)
-        sl_maps = jnp.asarray(self.plan.slice_src)
-        S = self.plan.num_slices
-        THW = self.T * self.H * self.W
+        ctx_maps = jnp.asarray(plan.ctx_src)
+        sl_maps = jnp.asarray(plan.slice_src)
+        S = plan.num_slices
+        THW = T * H * W
 
         def body(carry, s):
             logits_flat = carry
@@ -437,7 +452,7 @@ class VideoTransformer:
 
         init = jnp.zeros((b, THW, nc, self.c.nv), jnp.float32)
         logits_flat, _ = jax.lax.scan(body, init, jnp.arange(S))
-        return logits_flat.reshape(b, self.T, self.H, self.W, nc, self.c.nv)
+        return logits_flat.reshape(b, T, H, W, nc, self.c.nv)
 
     # -- sampling ------------------------------------------------------------
     def sample_video(self, params, video, key, *, temp: float = 1.0,
@@ -455,18 +470,19 @@ class VideoTransformer:
         if n_prime is None:
             n_prime = self.c.n_prime
         c = self.c
-        b, nc = video.shape[:2]
-        t, h, w = self.plan.slice_shape
+        b, nc, T, H, W = video.shape
+        plan = self._plan_for(T, H, W)
+        t, h, w = plan.slice_shape
         thw = t * h * w
         vflat = video.reshape(b, nc, -1)
-        ctx_maps = jnp.asarray(self.plan.ctx_src)
-        sl_maps = jnp.asarray(self.plan.slice_src)
-        S = self.plan.num_slices
+        ctx_maps = jnp.asarray(plan.ctx_src)
+        sl_maps = jnp.asarray(plan.slice_src)
+        S = plan.num_slices
 
         def sample_slice(carry, s):
             vf, key = carry
             sl = ss.gather_slice(vf, sl_maps[s])  # (b, nc, t, h, w)
-            frame = sl_maps[s].reshape(-1) // (self.H * self.W)
+            frame = sl_maps[s].reshape(-1) // (H * W)
             primed = frame < n_prime  # (thw,)
 
             def run(operand):
@@ -479,7 +495,7 @@ class VideoTransformer:
                     from .vt_incremental import sample_slice_incremental
 
                     return sample_slice_incremental(
-                        params["netG"], c, self.plan.slice_shape, zl, sl, key,
+                        params["netG"], c, plan.slice_shape, zl, sl, key,
                         primed, temp, greedy=greedy, kv_dtype=kv_cache_dtype)
                 return self._sample_slice_pixels(params, zl, sl, key, primed,
                                                  temp, greedy=greedy)
@@ -491,15 +507,14 @@ class VideoTransformer:
             return (vf, key), None
 
         (vflat, _), _ = jax.lax.scan(sample_slice, (vflat, key), jnp.arange(S))
-        return vflat.reshape(b, nc, self.T, self.H, self.W)
+        return vflat.reshape(b, nc, T, H, W)
 
     def _sample_slice_pixels(self, params, zl, sl, key, primed, temp,
                              greedy=False):
         """Scan raster positions of one slice, sampling each pixel's nc
         channels with the full decoder context (exact AR factorization)."""
         c = self.c
-        b, nc = sl.shape[:2]
-        t, h, w = self.plan.slice_shape
+        b, nc, t, h, w = sl.shape
         thw = t * h * w
 
         def sample_pixel(carry_p, p):

