@@ -35,8 +35,10 @@ def main():
                         help="KV-cache storage dtype in the sampler")
     parser.add_argument("--full-recompute", action="store_true",
                         help="disable the KV-cached decoder (reference formulation)")
-    parser.add_argument("--baseline-pixels", type=int, default=16,
-                        help="pixels to measure for the reference-style loop")
+    parser.add_argument("--baseline-pixels", type=int, default=64,
+                        help="pixels to measure for the reference-style loop "
+                             "(extrapolated to the full video; more pixels = "
+                             "steadier denominator)")
     parser.add_argument("--skip-baseline", action="store_true")
     args = parser.parse_args()
 

@@ -51,16 +51,39 @@ def causal_mask(n: int) -> np.ndarray:
     return np.triu(np.ones((n, n), dtype=bool), k=1)
 
 
+@lru_cache(maxsize=64)
+def _bias_rel_table(block_size: Tuple[int, int, int]):
+    """Concatenated-bank relative index table: (3, thw*thw) int32 indices
+    into [dt_bank | dh_bank | dw_bank] laid side by side (width K)."""
+    t, h, w = block_size
+    dt, dh, dw = _delta_indices(block_size)
+    rel = np.stack([dt.reshape(-1),
+                    dh.reshape(-1) + (2 * t - 1),
+                    dw.reshape(-1) + (2 * t - 1) + (2 * h - 1)])
+    K = (2 * t - 1) + (2 * h - 1) + (2 * w - 1)
+    return rel.astype(np.int32), K
+
+
 def relative_bias(dt_bank, dh_bank, dw_bank, block_size) -> jnp.ndarray:
     """Banks (na, 2s-1) -> bias (na, thw, thw) (reference get_B,
-    vt_attention.py:169-174)."""
+    vt_attention.py:169-174).
+
+    Computed as ONE matmul against a static 0/1 membership matrix instead of
+    three gathers: the gather's transpose is a scatter-add of thw^2 values
+    into ~2s buckets per head per layer — all-colliding indices that XLA
+    serializes on TPU (measured: the bias backward alone cost as much as the
+    whole rest of the backward). The matmul's transpose is a matmul.
+    """
     t, h, w = block_size
     thw = t * h * w
-    dt, dh, dw = _delta_indices(tuple(block_size))
-    Bt = jnp.take(dt_bank, jnp.asarray(dt.reshape(-1)), axis=1)
-    Bh = jnp.take(dh_bank, jnp.asarray(dh.reshape(-1)), axis=1)
-    Bw = jnp.take(dw_bank, jnp.asarray(dw.reshape(-1)), axis=1)
-    return (Bt + Bh + Bw).reshape(-1, thw, thw)
+    rel, K = _bias_rel_table(tuple(block_size))
+    bank = jnp.concatenate([dt_bank, dh_bank, dw_bank], axis=1)  # (na, K)
+    # membership: M[k, ij] = 1 where any axis maps pair ij to bank column k
+    # (axis ranges are disjoint, so entries are 0/1); built on device from
+    # the small index table, loop-invariant -> hoisted out of layer scans
+    M = (jnp.asarray(rel)[:, :, None] ==
+         jnp.arange(K, dtype=jnp.int32)[None, None, :]).any(0)
+    return (bank @ M.astype(bank.dtype).T).reshape(-1, thw, thw)
 
 
 def split_blocks(x: jnp.ndarray, block_size) -> Tuple[jnp.ndarray, Tuple]:
@@ -153,11 +176,103 @@ def attention_core_pallas(q, k, v, bias, mask: Optional[np.ndarray], *, interpre
     )(*args)
 
 
+def attention_core_pallas_bwd(q, k, v, bias, g, mask: Optional[np.ndarray],
+                              *, interpret=False):
+    """Fused recompute-backward (flash-attention recipe): one program per
+    (head, block) recomputes the (n, n) softmax in VMEM and emits
+    dq/dk/dv/dbias — no HBM round-trip for the score matrix (the XLA
+    backward materializes it in fp32 several times; measured as the
+    dominant cost of the train step's backward).
+
+    dbias is accumulated across the batch-block grid dimension by revisiting
+    the same output block (TPU grid iteration is sequential)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    nb, na, n, da = q.shape
+    scale = 1.0 / float(np.sqrt(da))
+    mask_arr = None if mask is None else jnp.asarray(mask[None], jnp.bool_)
+
+    def kernel(*refs):
+        if mask_arr is not None:
+            q_ref, k_ref, v_ref, b_ref, g_ref, m_ref, dq_ref, dk_ref, dv_ref, db_ref = refs
+        else:
+            q_ref, k_ref, v_ref, b_ref, g_ref, dq_ref, dk_ref, dv_ref, db_ref = refs
+
+        @pl.when(pl.program_id(1) == 0)
+        def _init():
+            db_ref[...] = jnp.zeros_like(db_ref)
+
+        qa = q_ref[0, 0].astype(jnp.float32)  # (n, da)
+        ka = k_ref[0, 0].astype(jnp.float32)
+        va = v_ref[0, 0].astype(jnp.float32)
+        ga = g_ref[0, 0].astype(jnp.float32)
+
+        s = jax.lax.dot_general(
+            qa, ka, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale
+        s = s + b_ref[0].astype(jnp.float32)
+        if mask_arr is not None:
+            s = jnp.where(m_ref[0], jnp.float32(-1e4), s)
+        p = jax.nn.softmax(s, axis=-1)  # (n, n)
+
+        dv = jax.lax.dot_general(  # p^T @ g
+            p, ga, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dp = jax.lax.dot_general(  # g @ v^T
+            ga, va, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))  # (n, n)
+        if mask_arr is not None:
+            ds = jnp.where(m_ref[0], jnp.float32(0.0), ds)
+
+        dq = jnp.dot(ds, ka, preferred_element_type=jnp.float32) * scale
+        dk = jax.lax.dot_general(  # ds^T @ q
+            ds, qa, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale
+
+        dq_ref[0, 0] = dq.astype(dq_ref.dtype)
+        dk_ref[0, 0] = dk.astype(dk_ref.dtype)
+        dv_ref[0, 0] = dv.astype(dv_ref.dtype)
+        db_ref[0] += ds  # fp32 accumulator over the batch-block dimension
+
+    qkv_spec = pl.BlockSpec((1, 1, n, da), lambda a, b: (b, a, 0, 0),
+                            memory_space=pltpu.VMEM)
+    in_specs = [qkv_spec, qkv_spec, qkv_spec,
+                pl.BlockSpec((1, n, n), lambda a, b: (a, 0, 0),
+                             memory_space=pltpu.VMEM),
+                qkv_spec]
+    args = [q, k, v, bias, g]
+    if mask_arr is not None:
+        in_specs.append(pl.BlockSpec((1, n, n), lambda a, b: (0, 0, 0),
+                                     memory_space=pltpu.VMEM))
+        args.append(mask_arr)
+
+    dq, dk, dv, dbias = pl.pallas_call(
+        kernel,
+        grid=(na, nb),  # batch-blocks innermost: dbias accumulates per head
+        in_specs=in_specs,
+        out_specs=[qkv_spec, qkv_spec, qkv_spec,
+                   pl.BlockSpec((1, n, n), lambda a, b: (a, 0, 0),
+                                memory_space=pltpu.VMEM)],
+        out_shape=[jax.ShapeDtypeStruct((nb, na, n, da), q.dtype),
+                   jax.ShapeDtypeStruct((nb, na, n, da), k.dtype),
+                   jax.ShapeDtypeStruct((nb, na, n, da), v.dtype),
+                   jax.ShapeDtypeStruct((na, n, n), jnp.float32)],
+        interpret=interpret,
+    )(*args)
+    return dq, dk, dv, dbias.astype(bias.dtype)
+
+
+# the fused backward's VMEM working set is ~6 * n^2 fp32 per program; past
+# this n the XLA backward is used instead (shipped configs: n <= 1024)
+_PALLAS_BWD_MAX_N = 512
+
+
 @lru_cache(maxsize=8)
 def _attention_core_pallas_ad(masked: bool):
-    """Differentiable wrapper: Pallas forward, backward through the XLA
-    formulation (pallas_call has no autodiff rule; the recompute-in-backward
-    pattern is the standard flash-attention recipe)."""
+    """Differentiable wrapper: Pallas forward; backward via the fused Pallas
+    recompute kernel (XLA fallback for very long blocks)."""
 
     def _mask(n):
         return causal_mask(n) if masked else None
@@ -171,8 +286,11 @@ def _attention_core_pallas_ad(masked: bool):
 
     def bwd(res, g):
         q, k, v, bias = res
+        n = q.shape[2]
+        if n <= _PALLAS_BWD_MAX_N:
+            return attention_core_pallas_bwd(q, k, v, bias, g, _mask(n))
         _, vjp = jax.vjp(
-            lambda q_, k_, v_, b_: attention_core_xla(q_, k_, v_, b_, _mask(q.shape[2])),
+            lambda q_, k_, v_, b_: attention_core_xla(q_, k_, v_, b_, _mask(n)),
             q, k, v, bias)
         return vjp(g)
 

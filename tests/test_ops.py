@@ -253,3 +253,42 @@ def test_masked_attention_is_causal(rng):
     np.testing.assert_allclose(
         y1.reshape(1, 16, d)[0, :10], y0.reshape(1, 16, d)[0, :10], atol=1e-5)
     assert not np.allclose(y1.reshape(1, 16, d)[0, 10], y0.reshape(1, 16, d)[0, 10])
+
+
+@pytest.mark.parametrize("masked", [True, False])
+def test_attention_pallas_backward_matches_xla_vjp(rng, masked):
+    """The fused Pallas backward (dq, dk, dv, dbias) must equal the XLA
+    formulation's vjp (the previous backward path)."""
+    nb, na, n, da = 3, 2, 16, 8
+    q, k, v = (jnp.asarray(rng.standard_normal((nb, na, n, da)), jnp.float32)
+               for _ in range(3))
+    bias = jnp.asarray(rng.standard_normal((na, n, n)), jnp.float32)
+    g = jnp.asarray(rng.standard_normal((nb, na, n, da)), jnp.float32)
+    mask = attn.causal_mask(n) if masked else None
+
+    _, vjp = jax.vjp(lambda q_, k_, v_, b_: attn.attention_core_xla(
+        q_, k_, v_, b_, mask), q, k, v, bias)
+    want = vjp(g)
+    got = attn.attention_core_pallas_bwd(q, k, v, bias, g, mask, interpret=True)
+    for name, a, b in zip(("dq", "dk", "dv", "dbias"), got, want):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4,
+                                   err_msg=name)
+
+
+def test_attention_pallas_backward_bf16_io(rng):
+    """bf16 q/k/v/bias (the training dtypes): grads come back in the input
+    dtypes with fp32 internals."""
+    nb, na, n, da = 2, 2, 16, 8
+    q, k, v = (jnp.asarray(rng.standard_normal((nb, na, n, da)), jnp.bfloat16)
+               for _ in range(3))
+    bias = jnp.asarray(rng.standard_normal((na, n, n)), jnp.bfloat16)
+    g = jnp.asarray(rng.standard_normal((nb, na, n, da)), jnp.bfloat16)
+    dq, dk, dv, dbias = attn.attention_core_pallas_bwd(
+        q, k, v, bias, g, None, interpret=True)
+    assert dq.dtype == dk.dtype == dv.dtype == jnp.bfloat16
+    assert dbias.dtype == jnp.bfloat16
+    _, vjp = jax.vjp(lambda *args: attn.attention_core_xla(*args, None),
+                     q, k, v, bias)
+    want = vjp(g)
+    np.testing.assert_allclose(np.asarray(dq, np.float32),
+                               np.asarray(want[0], np.float32), atol=0.05)
