@@ -22,7 +22,7 @@ Three reference behaviors rebuilt here:
   less compute/memory traffic.
 """
 
-from functools import lru_cache
+from functools import lru_cache, partial
 from typing import Optional, Tuple
 
 import jax
@@ -121,6 +121,97 @@ def conv3d_strided(x, w, b=None, stride=(1, 1, 1)):
     return out
 
 
+def _ctx_gather_indices(ctx, stride, table_shape):
+    """Strided window indices into the padded flat table: (b, nc*K, t, h, w)
+    int32 with per-slot base offsets baked in (pad -> row 0 of each slot)."""
+    nc, kt, kh, kw, nv, de = table_shape
+    st, sh, sw = stride
+    b = ctx.shape[0]
+    Tp, Hp, Wp = ctx.shape[2:]
+    t = (Tp - kt) // st + 1
+    h = (Hp - kh) // sh + 1
+    w = (Wp - kw) // sw + 1
+    wins = []
+    for dt in range(kt):
+        for dh in range(kh):
+            for dw in range(kw):
+                wins.append(
+                    jax.lax.slice(
+                        ctx,
+                        (0, 0, dt, dh, dw),
+                        (b, nc, dt + (t - 1) * st + 1, dh + (h - 1) * sh + 1, dw + (w - 1) * sw + 1),
+                        (1, 1, st, sh, sw),
+                    )
+                )
+    K = kt * kh * kw
+    idx = jnp.stack(wins, axis=2)  # (b, nc, K, t, h, w)
+    idx = jnp.clip(idx + 1, 0, nv)  # pad (-1) -> row 0
+    base = (jnp.arange(nc * K, dtype=idx.dtype) * (nv + 1)).reshape(1, nc, K, 1, 1, 1)
+    return (idx + base).reshape(b, nc * K, t, h, w), (t, h, w)
+
+
+def _ctx_encode_impl(ctx, table, stride):
+    nc, kt, kh, kw, nv, de = table.shape
+    K = kt * kh * kw
+    gidx, (t, h, w) = _ctx_gather_indices(ctx, stride, table.shape)
+    b = gidx.shape[0]
+    # (nc*K, nv+1, de) with row 0 = zeros for pad
+    flat = table.reshape(nc * K, nv, de)
+    flat = jnp.concatenate([jnp.zeros((nc * K, 1, de), flat.dtype), flat], axis=1)
+    flat = flat.reshape(nc * K * (nv + 1), de)
+    emb = jnp.take(flat, gidx.reshape(-1), axis=0)  # (b*nc*K*thw, de)
+    return emb.reshape(b, nc * K, t, h, w, de).sum(axis=1)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def _ctx_encode(ctx, table, stride, nv):
+    return _ctx_encode_impl(ctx, table, stride)
+
+
+def _ctx_encode_fwd(ctx, table, stride, nv):
+    # residuals must be jax types: carry the table dtype via a 0-size array
+    return (_ctx_encode_impl(ctx, table, stride),
+            (ctx, jnp.zeros((0,), table.dtype)))
+
+
+def _ctx_encode_bwd(stride, nv, res, g):
+    """d(table) via one-hot matmuls, one per (channel, kernel-slot).
+
+    The gather's natural transpose is a scatter-add of b*thw*nc*K rows into
+    nv buckets — massively colliding indices that XLA serializes on TPU
+    (measured: seconds per step on the (3,3)-kernel DSSVT geometry). The
+    one-hot matmul computes the same segment sums on the MXU."""
+    ctx, dtype_proto = res
+    nc = ctx.shape[1]
+    st, sh, sw = stride
+    t, h, w, de = g.shape[1:]
+    Tp, Hp, Wp = ctx.shape[2:]
+    kt = Tp - (t - 1) * st
+    kh = Hp - (h - 1) * sh
+    kw = Wp - (w - 1) * sw
+    K = kt * kh * kw
+    table_shape = (nc, kt, kh, kw, nv, de)
+    gidx, _ = _ctx_gather_indices(ctx, stride, table_shape)
+    b = gidx.shape[0]
+    gf = g.reshape(-1, de)  # (b*thw, de)
+    gsl = gidx.reshape(b, nc * K, -1)  # (b, ncK, thw)
+    cols = jnp.arange(nv + 1, dtype=gidx.dtype)[None, :]
+    slots = []
+    for s in range(nc * K):
+        local = gsl[:, s, :].reshape(-1, 1) - s * (nv + 1)  # (b*thw, 1)
+        oh = (local == cols).astype(g.dtype)  # (b*thw, nv+1)
+        slots.append(jax.lax.dot_general(  # oh^T @ g: (nv+1, de)
+            oh, gf, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32))
+    dflat = jnp.stack(slots)  # (ncK, nv+1, de) fp32
+    dtable = dflat[:, 1:, :].reshape(nc, kt, kh, kw, nv, de)
+    dctx = np.zeros(ctx.shape, dtype=jax.dtypes.float0)  # int input
+    return dctx, dtable.astype(dtype_proto.dtype)
+
+
+_ctx_encode.defvjp(_ctx_encode_fwd, _ctx_encode_bwd)
+
+
 def subscale_context_encode(
     ctx: jnp.ndarray,
     table: jnp.ndarray,
@@ -135,41 +226,14 @@ def subscale_context_encode(
            videotransformer.py:41-48)
     table: (nc, kt, kh, kw, nv, de) embedding-form conv weight
     Returns (b, t, h, w, de).
+
+    Forward is a gather (fast); the backward w.r.t. the table is a custom
+    one-hot matmul (see _ctx_encode_bwd) instead of XLA's serialized
+    scatter-add.
     """
     nc, kt, kh, kw, nv_t, de = table.shape
     assert nv_t == nv
-    st, sh, sw = stride
-    b = ctx.shape[0]
-    Tp, Hp, Wp = ctx.shape[2:]
-    t = (Tp - kt) // st + 1
-    h = (Hp - kh) // sh + 1
-    w = (Wp - kw) // sw + 1
-
-    # (nc*K, nv+1, de) with row 0 = zeros for pad
-    K = kt * kh * kw
-    flat = table.reshape(nc * K, nv, de)
-    flat = jnp.concatenate([jnp.zeros((nc * K, 1, de), flat.dtype), flat], axis=1)
-    flat = flat.reshape(nc * K * (nv + 1), de)
-
-    # strided windows: (b, nc, K, t, h, w)
-    wins = []
-    for dt in range(kt):
-        for dh in range(kh):
-            for dw in range(kw):
-                wins.append(
-                    jax.lax.slice(
-                        ctx,
-                        (0, 0, dt, dh, dw),
-                        (b, nc, dt + (t - 1) * st + 1, dh + (h - 1) * sh + 1, dw + (w - 1) * sw + 1),
-                        (1, 1, st, sh, sw),
-                    )
-                )
-    idx = jnp.stack(wins, axis=2)  # (b, nc, K, t, h, w)
-    idx = jnp.clip(idx + 1, 0, nv)  # pad (-1) -> row 0
-    base = (jnp.arange(nc * K, dtype=idx.dtype) * (nv + 1)).reshape(1, nc, K, 1, 1, 1)
-    gidx = idx + base
-    emb = jnp.take(flat, gidx.reshape(-1), axis=0)  # (b*nc*K*thw, de)
-    emb = emb.reshape(b, nc * K, t, h, w, de).sum(axis=1)
+    emb = _ctx_encode(ctx, table, tuple(stride), int(nv))
     if bias is not None:
         emb = emb + bias
     return emb

@@ -292,3 +292,33 @@ def test_attention_pallas_backward_bf16_io(rng):
     want = vjp(g)
     np.testing.assert_allclose(np.asarray(dq, np.float32),
                                np.asarray(want[0], np.float32), atol=0.05)
+
+
+@pytest.mark.parametrize("stride,kernel", [((4, 1, 1), (3, 1, 1)),
+                                           ((1, 2, 2), (1, 3, 3))])
+def test_ctx_encode_custom_backward_matches_gather_vjp(rng, stride, kernel):
+    """The one-hot-matmul d(table) must equal the natural gather vjp."""
+    from lvt_tpu.ops import conv as C
+
+    nc, nv, de = 2, 6, 8
+    kt, kh, kw = kernel
+    st, sh, sw = stride
+    t, h, w = 2, 4, 4
+    Tp, Hp, Wp = (t - 1) * st + kt, (h - 1) * sh + kh, (w - 1) * sw + kw
+    table = jnp.asarray(rng.standard_normal((nc, kt, kh, kw, nv, de)),
+                        jnp.float32)
+    ctx = jnp.asarray(
+        rng.integers(-1, nv, size=(3, nc, Tp, Hp, Wp)), jnp.int32)
+    g = jnp.asarray(rng.standard_normal((3, t, h, w, de)), jnp.float32)
+
+    def loss_custom(tab):
+        return jnp.vdot(C._ctx_encode(ctx, tab, stride, nv), g)
+
+    def loss_natural(tab):
+        return jnp.vdot(C._ctx_encode_impl(ctx, tab, stride), g)
+
+    np.testing.assert_allclose(loss_custom(table), loss_natural(table),
+                               rtol=1e-6)
+    got = jax.grad(loss_custom)(table)
+    want = jax.grad(loss_natural)(table)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4)
