@@ -136,7 +136,8 @@ def _embed_sum_codes(dec, c: VTConfig, codes):
 
 def sample_slice_incremental(params, c: VTConfig, slice_shape, zl, sl, key,
                              primed, temp, greedy: bool = False,
-                             kv_dtype: str = "native"):
+                             kv_dtype: str = "native",
+                             seg_size: int = 0):
     """Exact AR sampling of one slice with cached decoder state.
 
     params: the netG tree; zl: (b, t, h, w, d) encoder output;
@@ -259,7 +260,7 @@ def sample_slice_incremental(params, c: VTConfig, slice_shape, zl, sl, key,
     # reads dominate HBM traffic at large batch, and the triangular prefix
     # cuts them ~1.6x. Segment boundaries are static; each segment is its own
     # scan over a fixed-size carry.
-    seg = max(64, thw // 4)
+    seg = seg_size if seg_size > 0 else max(64, thw // 4)
     bounds = list(range(seg, thw + 1, seg)) or [thw]
     if bounds[-1] != thw:
         bounds.append(thw)

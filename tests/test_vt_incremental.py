@@ -126,3 +126,20 @@ def test_block_structure_roundtrip():
     for bb in range(8):
         assert (bid == bb).sum() == 8
         assert sorted(rel[bid == bb]) == list(range(8))
+
+
+def test_seg_size_does_not_change_greedy_output(rng):
+    """kv_seg_size is a perf knob only: any segment size must reproduce the
+    default's greedy samples exactly."""
+    stride, kernel, blocks, THW = CASES[1]
+    cfg = _cfg(stride, kernel, blocks)
+    m = VideoTransformer(cfg, T=THW[0], H=THW[1], W=THW[2])
+    params, _ = m.init(jax.random.key(0))
+    video = jnp.asarray(
+        rng.integers(0, m.c.nv, size=(2, m.c.nc, *THW)), jnp.int32)
+    key = jax.random.key(5)
+    base = m.sample_video(params, video, key, n_prime=1, greedy=True)
+    for seg in (4, 8, 64):
+        got = m.sample_video(params, video, key, n_prime=1, greedy=True,
+                             kv_seg_size=seg)
+        np.testing.assert_array_equal(np.asarray(base), np.asarray(got))

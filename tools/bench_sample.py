@@ -1,0 +1,80 @@
+#!/usr/bin/env python
+"""Per-geometry AR sampling benchmark (DSFVT / DSSVT / DSTSVT).
+
+Measures sample_video (the jitted KV-cached rollout alone, no VQ-VAE) in
+frames/sec/chip — the number BASELINE.md's per-geometry rows track. Sweeps
+batch, KV dtype, and cache segment size:
+
+  python tools/bench_sample.py --config configs/vt/DSSVT.yaml --batch 8
+  python tools/bench_sample.py --config configs/vt/DSSVT.yaml --batch 32 \
+      --kv int8 --seg 128
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--config", default="configs/vt/DSSVT.yaml")
+    p.add_argument("--batch", type=int, default=8)
+    p.add_argument("--iters", type=int, default=3)
+    p.add_argument("--kv", default="native", choices=["native", "int8"])
+    p.add_argument("--seg", type=int, default=0, help="cache segment size "
+                   "(0 = heuristic max(64, thw//4))")
+    p.add_argument("--dtype", default="bfloat16")
+    args = p.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from lvt_tpu.config import get_cfg
+    from lvt_tpu.models import cast_floats
+    from lvt_tpu.models.vt import VideoTransformer
+
+    root = os.path.join(os.path.dirname(__file__), "..")
+    cfg = get_cfg()
+    cfg.merge_from_file(os.path.join(root, args.config))
+    T, H, W = 16, 16, 16
+    model = VideoTransformer(cfg, T=T, H=H, W=W)
+    params, _ = model.init(jax.random.key(0))
+    if args.dtype == "bfloat16":
+        params = cast_floats(params, jnp.bfloat16)
+
+    n_prime = cfg.TEST.VT_SAMPLER.N_PRIME
+    B = args.batch
+    rng = np.random.default_rng(0)
+    video = jnp.asarray(
+        rng.integers(0, model.c.nv, size=(B, model.c.nc, T, H, W)), jnp.int32)
+
+    fn = jax.jit(lambda v, k: model.sample_video(
+        params, v, k, n_prime=n_prime, kv_cache_dtype=args.kv,
+        kv_seg_size=args.seg))
+    key = jax.random.key(7)
+    fn(video, key).block_until_ready()  # compile
+
+    times = []
+    for i in range(args.iters):
+        t0 = time.perf_counter()
+        out = fn(video, jax.random.fold_in(key, i))
+        _ = int(np.asarray(out[0, 0, -1, 0, 0]))  # host read = hard fence
+        times.append(time.perf_counter() - t0)
+    best = min(times)
+    fps = B * (T - n_prime) / best
+    print(json.dumps({
+        "config": os.path.basename(args.config),
+        "batch": B, "kv": args.kv, "seg": args.seg,
+        "n_prime": n_prime,
+        "seconds_best": round(best, 3),
+        "frames_per_sec_per_chip": round(fps, 1),
+    }))
+
+
+if __name__ == "__main__":
+    main()

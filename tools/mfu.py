@@ -33,7 +33,35 @@ PEAK_TFLOPS = {
 }
 
 
-def main():
+def _analytic_vt_train_flops(model, batch: int) -> float:
+    """Matmul FLOPs (2*M*N*K) of one VT train step: forward + 2x backward.
+
+    Per token per layer: qkv 6*d*nada, proj 2*nada*d, ffn 4*d^2, attention
+    4*blk*nada; encoder and decoder each process one slice grid per sample.
+    The channel predictor adds per-channel U/P matmuls on decoder tokens.
+    """
+    c = model.c
+    t, h, w = model.plan.slice_shape
+    thw = t * h * w
+    d = c.d
+
+    def stack_flops(tokens, blocks, heads):
+        total = 0.0
+        for blk, na in zip(blocks, heads):
+            bt, bh, bw = blk
+            nada = na * c.da
+            per_token = 8 * d * nada + 4 * d * d + 4 * (bt * bh * bw) * nada
+            total += tokens * per_token
+        return total
+
+    tokens = batch * thw
+    fwd = stack_flops(tokens, c.blocks_e, c.n_head_e)
+    fwd += stack_flops(tokens, c.blocks_d, c.n_head_d)
+    # channel predictor: per channel k, U (d + k*nv, d) then P (d, nv)
+    for k in range(c.nc):
+        fwd += tokens * 2 * (d + k * c.nv) * d
+        fwd += tokens * 2 * d * c.nv
+    return 3.0 * fwd  # backward ~ 2x forward
     p = argparse.ArgumentParser()
     p.add_argument("--config", default="configs/vt/DSFVT.yaml")
     p.add_argument("--batch", type=int, default=64)
@@ -81,6 +109,11 @@ def main():
     cost = compiled.cost_analysis()
     cost = cost[0] if isinstance(cost, (list, tuple)) else cost
     flops_per_step = float(cost.get("flops", 0.0))
+    # XLA's post-fusion cost analysis misses fusion-internal flops (observed
+    # ~5x undercount on the VT step); use the analytic count when available
+    analytic = _analytic_vt_train_flops(trainer.model, args.batch) if is_vt else None
+    if analytic:
+        flops_per_step = analytic
 
     # pure device step: one device-resident batch, reused — no host rng or
     # transfer inside the timed loop (those pipeline behind the step in the
