@@ -199,62 +199,60 @@ def attention_core_pallas_bwd(q, k, v, bias, g, mask: Optional[np.ndarray],
         else:
             q_ref, k_ref, v_ref, b_ref, g_ref, dq_ref, dk_ref, dv_ref, db_ref = refs
 
-        @pl.when(pl.program_id(1) == 0)
+        @pl.when(pl.program_id(0) == 0)
         def _init():
             db_ref[...] = jnp.zeros_like(db_ref)
 
-        qa = q_ref[0, 0].astype(jnp.float32)  # (n, da)
-        ka = k_ref[0, 0].astype(jnp.float32)
-        va = v_ref[0, 0].astype(jnp.float32)
-        ga = g_ref[0, 0].astype(jnp.float32)
+        for a in range(na):  # static unroll over heads (matches the forward)
+            qa = q_ref[0, a].astype(jnp.float32)  # (n, da)
+            ka = k_ref[0, a].astype(jnp.float32)
+            va = v_ref[0, a].astype(jnp.float32)
+            ga = g_ref[0, a].astype(jnp.float32)
 
-        s = jax.lax.dot_general(
-            qa, ka, dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32) * scale
-        s = s + b_ref[0].astype(jnp.float32)
-        if mask_arr is not None:
-            s = jnp.where(m_ref[0], jnp.float32(-1e4), s)
-        p = jax.nn.softmax(s, axis=-1)  # (n, n)
+            s = jax.lax.dot_general(
+                qa, ka, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale
+            s = s + b_ref[a].astype(jnp.float32)
+            if mask_arr is not None:
+                s = jnp.where(m_ref[0], jnp.float32(-1e4), s)
+            p = jax.nn.softmax(s, axis=-1)  # (n, n)
 
-        dv = jax.lax.dot_general(  # p^T @ g
-            p, ga, dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        dp = jax.lax.dot_general(  # g @ v^T
-            ga, va, dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))  # (n, n)
-        if mask_arr is not None:
-            ds = jnp.where(m_ref[0], jnp.float32(0.0), ds)
+            dv = jax.lax.dot_general(  # p^T @ g
+                p, ga, dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            dp = jax.lax.dot_general(  # g @ v^T
+                ga, va, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))  # (n, n)
+            if mask_arr is not None:
+                ds = jnp.where(m_ref[0], jnp.float32(0.0), ds)
 
-        dq = jnp.dot(ds, ka, preferred_element_type=jnp.float32) * scale
-        dk = jax.lax.dot_general(  # ds^T @ q
-            ds, qa, dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32) * scale
+            dq = jnp.dot(ds, ka, preferred_element_type=jnp.float32) * scale
+            dk = jax.lax.dot_general(  # ds^T @ q
+                ds, qa, dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale
 
-        dq_ref[0, 0] = dq.astype(dq_ref.dtype)
-        dk_ref[0, 0] = dk.astype(dk_ref.dtype)
-        dv_ref[0, 0] = dv.astype(dv_ref.dtype)
-        db_ref[0] += ds  # fp32 accumulator over the batch-block dimension
+            dq_ref[0, a] = dq.astype(dq_ref.dtype)
+            dk_ref[0, a] = dk.astype(dk_ref.dtype)
+            dv_ref[0, a] = dv.astype(dv_ref.dtype)
+            db_ref[a] += ds  # fp32 accumulator over the batch-block grid
 
-    qkv_spec = pl.BlockSpec((1, 1, n, da), lambda a, b: (b, a, 0, 0),
+    qkv_spec = pl.BlockSpec((1, na, n, da), lambda i: (i, 0, 0, 0),
                             memory_space=pltpu.VMEM)
-    in_specs = [qkv_spec, qkv_spec, qkv_spec,
-                pl.BlockSpec((1, n, n), lambda a, b: (a, 0, 0),
-                             memory_space=pltpu.VMEM),
-                qkv_spec]
+    bias_spec = pl.BlockSpec((na, n, n), lambda i: (0, 0, 0),
+                             memory_space=pltpu.VMEM)
+    in_specs = [qkv_spec, qkv_spec, qkv_spec, bias_spec, qkv_spec]
     args = [q, k, v, bias, g]
     if mask_arr is not None:
-        in_specs.append(pl.BlockSpec((1, n, n), lambda a, b: (0, 0, 0),
+        in_specs.append(pl.BlockSpec((1, n, n), lambda i: (0, 0, 0),
                                      memory_space=pltpu.VMEM))
         args.append(mask_arr)
 
     dq, dk, dv, dbias = pl.pallas_call(
         kernel,
-        grid=(na, nb),  # batch-blocks innermost: dbias accumulates per head
+        grid=(nb,),  # dbias revisits its block every iteration: accumulate
         in_specs=in_specs,
-        out_specs=[qkv_spec, qkv_spec, qkv_spec,
-                   pl.BlockSpec((1, n, n), lambda a, b: (a, 0, 0),
-                                memory_space=pltpu.VMEM)],
+        out_specs=[qkv_spec, qkv_spec, qkv_spec, bias_spec],
         out_shape=[jax.ShapeDtypeStruct((nb, na, n, da), q.dtype),
                    jax.ShapeDtypeStruct((nb, na, n, da), k.dtype),
                    jax.ShapeDtypeStruct((nb, na, n, da), v.dtype),
@@ -386,6 +384,11 @@ def mha_tokens(x: jnp.ndarray, p: BlockAttnParams, bias: jnp.ndarray,
     na, _, da = p.wq.shape
     residual = x
     y = _layer_norm(x, p.ln_scale, p.ln_bias)
+    # NOTE: fusing q/k/v into one matmul via a weight concat was measured
+    # SLOWER here (82 vs 72 ms/step): inside the stacked-layer scan the
+    # concat re-materializes 3 weight banks per iteration, costing more HBM
+    # traffic than the fused matmul saves. (The sampler fuses QKV because
+    # its weights are concatenated ONCE outside the pixel scan.)
     q = jnp.einsum("bnd,adk->bank", y, p.wq)
     k = jnp.einsum("bnd,adk->bank", y, p.wk)
     v = jnp.einsum("bnd,adk->bank", y, p.wv)
