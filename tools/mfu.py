@@ -62,6 +62,9 @@ def _analytic_vt_train_flops(model, batch: int) -> float:
         fwd += tokens * 2 * (d + k * c.nv) * d
         fwd += tokens * 2 * d * c.nv
     return 3.0 * fwd  # backward ~ 2x forward
+
+
+def main():
     p = argparse.ArgumentParser()
     p.add_argument("--config", default="configs/vt/DSFVT.yaml")
     p.add_argument("--batch", type=int, default=64)
@@ -118,18 +121,21 @@ def _analytic_vt_train_flops(model, batch: int) -> float:
     # pure device step: one device-resident batch, reused — no host rng or
     # transfer inside the timed loop (those pipeline behind the step in the
     # real Trainer; here they would just add measurement noise)
+    # NOTE: fence with a host read of a metric scalar — block_until_ready is
+    # not a reliable execution fence through the remote-TPU tunnel
+    # (measured: it returned in 0.3 s for 50 chained 130 ms steps)
     step_fn = trainer._train_step
     state, key = trainer.state, trainer._step_key
     for _ in range(3):  # warmup
-        state, _ = step_fn(state, batch, key)
-    jax.block_until_ready(state.params)
+        state, metrics = step_fn(state, batch, key)
+    float(jax.tree_util.tree_leaves(metrics)[0])
 
     if args.trace:
         jax.profiler.start_trace(args.trace)
     t0 = time.perf_counter()
     for _ in range(args.steps):
-        state, _ = step_fn(state, batch, key)
-    jax.block_until_ready(state.params)
+        state, metrics = step_fn(state, batch, key)
+    float(jax.tree_util.tree_leaves(metrics)[0])  # hard fence
     dt = (time.perf_counter() - t0) / args.steps
     if args.trace:
         jax.profiler.stop_trace()
