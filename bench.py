@@ -27,7 +27,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 def main():
     parser = argparse.ArgumentParser()
-    parser.add_argument("--batch", type=int, default=32)
+    parser.add_argument("--batch", type=int, default=64)  # throughput sweet
+    # spot (BASELINE.md batch sweep); vs_baseline stays same-batch honest
     parser.add_argument("--iters", type=int, default=3)
     parser.add_argument("--dtype", default="bfloat16", choices=["bfloat16", "float32"],
                         help="sampling weight/activation dtype (softmax/logits stay fp32)")

@@ -160,3 +160,48 @@ def test_nan_guard(rng, tmp_path):
     trainer._data_loader_iter = iter(BadLoader())
     with pytest.raises(FloatingPointError):
         trainer.train(0, 2)
+
+
+def test_class_conditional_vt_trains(rng, tmp_path):
+    """Kinetics-style class-conditional VT (KDSFVT path): the class ids ride
+    the batch through _put_batch into the jitted step, and training moves
+    the loss."""
+    from lvt_tpu.models.vt import VideoTransformer
+
+    cfg = get_cfg()
+    cfg.MODEL.META_ARCHITECTURE = "VideoTransformerModel"
+    v = cfg.MODEL.AUTOREGRESSIVE.VT
+    v.NC, v.NV = 2, 8
+    v.KERNEL, v.STRIDE = (3, 1, 1), (4, 1, 1)
+    v.D, v.DA, v.DE = 32, 16, 16
+    v.BLOCKS_E = ((1, 4, 4),) * 2
+    v.N_HEAD_E = (2, 2)
+    v.BLOCKS_D = ((1, 4, 4),) * 2
+    v.N_HEAD_D = (2, 2)
+    v.N_PRIME = 1
+    v.CLASS_NUM = 6
+    cfg.SOLVER.IMS_PER_BATCH = 8
+    cfg.SOLVER.OPTIMIZER_NAME = "rmsprop"
+    cfg.SOLVER.RMSPROP.ALPHA_G = 0.95
+    cfg.SOLVER.RMSPROP.MOMENTUM_G = 0.9
+    cfg.SOLVER.LR_G = 1e-3
+    cfg.OUTPUT_DIR = str(tmp_path)
+    cfg.VIS_PERIOD = 0
+
+    data = np.random.default_rng(0)
+    fixed = {"video": data.integers(0, 8, size=(8, 2, 4, 4, 4)).astype(np.int32),
+             "class": data.integers(0, 6, size=(8,)).astype(np.int32)}
+
+    class L:
+        def __iter__(self):
+            while True:
+                yield fixed
+
+    model = VideoTransformer(cfg, T=4, H=4, W=4)
+    assert "class_embedding" in model.init(jax.random.key(0))[0]["netG"]["encoder"]
+    trainer = Trainer(cfg, L(), model=model, mesh=build_mesh(data=4))
+    trainer.train(0, 12)
+    hist = trainer.storage.history("loss_cross_entropy").values()
+    first, last = hist[0][0], hist[-1][0]
+    assert np.isfinite(last)
+    assert last < first, f"loss did not decrease: {first} -> {last}"

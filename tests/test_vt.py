@@ -171,3 +171,40 @@ def test_class_conditional_path(rng):
     out = m.sample_video(params, video, jax.random.key(2),
                          class_idx=jnp.asarray([0, 4], jnp.int32))
     assert out.shape == video.shape
+
+
+def test_remat_flag_preserves_loss_and_grads(rng):
+    """TPU.REMAT trades memory for recompute — it must not change the math."""
+    import jax
+
+    from lvt_tpu.config import get_cfg
+    from lvt_tpu.models.vt import VideoTransformer
+
+    def build(remat):
+        cfg = get_cfg()
+        cfg.MODEL.META_ARCHITECTURE = "VideoTransformerModel"
+        v = cfg.MODEL.AUTOREGRESSIVE.VT
+        v.NC, v.NV = 2, 8
+        v.KERNEL, v.STRIDE = (3, 1, 1), (4, 1, 1)
+        v.D, v.DA, v.DE = 32, 16, 16
+        v.BLOCKS_E = ((1, 4, 4),) * 2
+        v.N_HEAD_E = (2, 2)
+        v.BLOCKS_D = ((1, 4, 4),) * 2
+        v.N_HEAD_D = (2, 2)
+        v.N_PRIME = 1
+        cfg.TPU.REMAT = remat
+        return VideoTransformer(cfg, T=4, H=4, W=4)
+
+    m0, m1 = build(False), build(True)
+    params, _ = m0.init(jax.random.key(0))
+    video = jnp.asarray(rng.integers(0, 8, size=(2, 2, 4, 4, 4)), jnp.int32)
+    key = jax.random.key(3)
+
+    def loss(m):
+        return lambda p: m.loss(p, {"video": video}, key)[0]
+
+    l0, g0 = jax.value_and_grad(loss(m0))(params)
+    l1, g1 = jax.value_and_grad(loss(m1))(params)
+    np.testing.assert_allclose(float(l0), float(l1), rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(g0), jax.tree_util.tree_leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
