@@ -188,12 +188,25 @@ class Trainer(TrainerBase):
 
     def _put_batch(self, batch):
         """Move numeric batch fields onto the mesh; drop host-side metadata
-        (file names, video indices) the jitted step cannot take."""
+        (file names, video indices) the jitted step cannot take.
+
+        With TPU.SHARD_SPATIAL, image batches (b, H, W, C) additionally
+        shard their row axis over the model axis (sequence/spatial
+        parallelism for the conv stage; parallel.mesh.spatial_batch_sharding).
+        """
+        sp = bool(getattr(self.cfg.TPU, "SHARD_SPATIAL", False))
+        if sp and not hasattr(self, "_spatial_sharding"):
+            from ..parallel.mesh import spatial_batch_sharding
+
+            self._spatial_sharding = spatial_batch_sharding(self.mesh)
         out = {}
         for k, v in batch.items():
             arr = np.asarray(v) if not isinstance(v, jnp.ndarray) else v
             if getattr(arr, "dtype", None) is not None and np.issubdtype(arr.dtype, np.number):
-                out[k] = jax.device_put(jnp.asarray(arr), self._batch_sharding)
+                sharding = self._batch_sharding
+                if sp and k == "image" and arr.ndim == 4:
+                    sharding = self._spatial_sharding
+                out[k] = jax.device_put(jnp.asarray(arr), sharding)
         return out
 
     def flush_metrics(self):

@@ -49,6 +49,15 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P(DATA_AXIS))
 
 
+def spatial_batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Sequence/spatial parallelism for image batches (b, H, W, C): batch
+    over `data`, image rows over `model`. XLA's SPMD partitioner inserts the
+    halo exchanges the convolutions need (collective-permute over ICI) — the
+    TPU-native equivalent of hand-written SP. No reference counterpart
+    (SURVEY §2.10: SP row)."""
+    return NamedSharding(mesh, P(DATA_AXIS, MODEL_AXIS))
+
+
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 

@@ -134,3 +134,55 @@ def test_codebook_shards_over_codes():
     state = init_codebook(jax.random.key(0), num=2, K=64, D=16)
     fields = sharded_field_names(mesh, state)
     assert {"embedding", "running_sum", "running_size"} <= fields
+
+
+def test_spatial_parallel_vqvae_matches_replicated(tmp_path):
+    """SP (TPU.SHARD_SPATIAL): image rows sharded over the model axis — the
+    conv stage's halo exchanges are XLA's job; the train step must match the
+    replicated run."""
+    import os
+
+    from lvt_tpu.engine import Trainer
+
+    CONFIG_DIR = os.path.join(os.path.dirname(__file__), "..", "configs")
+
+    def _cfg(shard_spatial):
+        from lvt_tpu.config import get_cfg as gc
+
+        cfg = gc()
+        cfg.merge_from_file(os.path.join(CONFIG_DIR, "vqvae", "PR-DVQVAE2.yaml"))
+        cfg.TPU.COMPUTE_DTYPE = "float32"
+        cfg.TPU.SHARD_SPATIAL = shard_spatial
+        cfg.MODEL.ENCODER.NF = 16
+        cfg.MODEL.ENCODER.RES_CHANNELS = 8
+        cfg.MODEL.ENCODER.N_LAYERS = 1
+        cfg.MODEL.GENERATOR.NF = 16
+        cfg.MODEL.GENERATOR.RES_CHANNELS = 8
+        cfg.MODEL.GENERATOR.N_LAYERS = 1
+        cfg.MODEL.GENERATOR.IN_CHANNELS = 16
+        cfg.MODEL.CODEBOOK.DIM = 16
+        cfg.SOLVER.IMS_PER_BATCH = 8
+        cfg.SEED = 2
+        cfg.OUTPUT_DIR = str(tmp_path)
+        return cfg
+
+    r = np.random.default_rng(4)
+    images = [r.random((8, 16, 16, 3)).astype(np.float32) for _ in range(2)]
+
+    class L:
+        def __iter__(self):
+            return iter(itertools.cycle([{"image": im} for im in images]))
+
+    def run(shard_spatial, mesh):
+        tr = Trainer(_cfg(shard_spatial), L(), mesh=mesh)
+        for im in images:
+            placed = tr._put_batch({"image": im})
+            tr.state, metrics = tr._train_step(tr.state, placed, tr._step_key)
+        loss = float(metrics["loss_reconstruction"])
+        return loss, jax.tree_util.tree_map(np.asarray, tr.state.params)
+
+    loss_rep, p_rep = run(False, build_mesh(data=8, model=1))
+    loss_sp, p_sp = run(True, build_mesh(data=4, model=2))
+    np.testing.assert_allclose(loss_rep, loss_sp, rtol=1e-4)
+    for a, b in zip(jax.tree_util.tree_leaves(p_rep), jax.tree_util.tree_leaves(p_sp)):
+        np.testing.assert_allclose(a, b, rtol=1e-3, atol=5e-5)
