@@ -165,16 +165,35 @@ def _apply_attn_stack(x, layers, blocks, masked, *, use_pallas=None,
                                      use_pallas=use_pallas)
 
     if homogeneous:
+        from ..ops.attention import (
+            causal_mask,
+            ffn_tokens,
+            merge_blocks,
+            mha_tokens,
+            relative_bias,
+            split_blocks,
+        )
+
         stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *layers)
+        blk = blocks[0]
+        t, h, w = blk
+        mask = causal_mask(t * h * w) if masked else None
+        # split/merge (two full-activation transposes) hoisted OUT of the
+        # layer scan: every layer shares the block geometry, so the token
+        # form round-trips once instead of per layer
+        tokens, geom = split_blocks(x, blk)
 
-        def body(xx, pp):
-            f = one
-            if remat:
-                f = jax.checkpoint(f, static_argnums=(2,))
-            return f(xx, pp, blocks[0]), None
+        def body(tok, pp):
+            def layer(tok, pp):
+                bias = relative_bias(pp.dt_bank, pp.dh_bank, pp.dw_bank, blk)
+                tok = mha_tokens(tok, pp, bias, mask, use_pallas=use_pallas)
+                return ffn_tokens(tok, pp)
 
-        x, _ = jax.lax.scan(body, x, stacked)
-        return x
+            f = jax.checkpoint(layer) if remat else layer
+            return f(tok, pp), None
+
+        tokens, _ = jax.lax.scan(body, tokens, stacked)
+        return merge_blocks(tokens, geom)
 
     for p, blk in zip(layers, blocks):
         f = jax.checkpoint(one, static_argnums=(2,)) if remat else one
