@@ -10,7 +10,6 @@ evaluation.inference_on_dataset, replacing the reference's
 import argparse
 import logging
 import os
-import weakref
 from collections import OrderedDict
 
 import jax
@@ -101,14 +100,18 @@ def default_setup(cfg, args):
 # Jits are built ONCE per (model, task) and reused across every run_test /
 # EvalHook invocation — params flow in as arguments, never closed over, so
 # periodic eval re-pays zero trace/compile time (the VT sampling scan takes
-# ~10 min to compile on TPU). WeakKeyDictionary: cache dies with the model.
-_JIT_CACHE = weakref.WeakKeyDictionary()
+# ~10 min to compile on TPU). The cache lives ON the model object itself:
+# its lifetime equals the model's (a WeakKeyDictionary would not work here —
+# the jitted value's closure references the model, keeping the key alive).
 TRACE_COUNTS = {}  # (id(model), *key) -> number of actual traces (test hook)
 
 
 def _cached_jit(model, key, fn):
     """jit ``fn`` once per (model instance, key); counts real traces."""
-    cache = _JIT_CACHE.setdefault(model, {})
+    cache = getattr(model, "_lvt_jit_cache", None)
+    if cache is None:
+        cache = {}
+        model._lvt_jit_cache = cache
     if key not in cache:
         count_key = (id(model),) + key
 
@@ -208,9 +211,14 @@ def build_vt_infer_fn(cfg, model, params, *, rng=None):
 
 
 def build_evaluators(cfg, dataset_name, output_dir):
-    names = [n.strip() for n in cfg.TEST.EVALUATORS.split(",") if n.strip()]
+    names = [n.strip().strip("'\"") for n in cfg.TEST.EVALUATORS.split(",")
+             if n.strip().strip("'\"")]
     evs = []
     for name in names:
+        if name not in EVALUATOR_REGISTRY:
+            raise KeyError(
+                f"Unknown evaluator {name!r}; available: "
+                f"{sorted(EVALUATOR_REGISTRY)}")
         cls = EVALUATOR_REGISTRY[name]
         if name in ("VTSampler", "FVDEvaluator"):
             evs.append(cls(cfg, dataset_name, distributed=True, output_dir=output_dir))

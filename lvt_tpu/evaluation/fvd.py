@@ -3,8 +3,12 @@ behind the standard evaluator protocol (fits vidgen/evaluation/evaluator.py:14
 — the reference itself ships NO FVD evaluator; this is new capability).
 
 FVD = |mu_r - mu_g|^2 + tr(S_r + S_g - 2 (S_r^{1/2} S_g S_r^{1/2})^{1/2}),
-computed over I3D logits of real vs generated RGB videos. The feature
-network is pluggable:
+computed over I3D logits of real vs generated RGB videos. The real side
+uses actual frames when the dataset provides them ("image_sequence");
+latent-only datasets fall back to VQ reconstructions of the ground-truth
+codes (comparable across runs here, NOT against published tables — the
+fallback shares the VQ-VAE's artifacts with the generated side). The
+feature network is pluggable:
 
 * ``TEST.FVD.I3D_WEIGHTS`` set -> the real I3D (evaluation/i3d.py) with
   converted Kinetics-400 weights (.npz).
@@ -122,15 +126,17 @@ class FVDEvaluator(DatasetEvaluator):
 
     def __init__(self, cfg, dataset_name, distributed=True, output_dir=None,
                  feature_fn: Optional[Callable] = None):
-        from .vt_sampler import load_paired_vqvae
+        from .vt_sampler import decode_codes_fn, load_paired_vqvae
 
         self._dataset_name = dataset_name
         self._distributed = distributed
 
+        # memoized: shares the model, weights, and compiled decode with a
+        # co-running VTSampler
         self.vqvae, self._vq_params, self._vq_state, vq_cfg = load_paired_vqvae(cfg)
         self._scale01 = vq_cfg.INPUT.SCALE_TO_ZEROONE
-        self._decode = jax.jit(
-            lambda idx: self.vqvae.decode(self._vq_params, self._vq_state, idx))
+        self._decode_shared = decode_codes_fn(
+            self.vqvae, self._vq_params, self._vq_state, self._scale01)
 
         weights = cfg.TEST.FVD.I3D_WEIGHTS
         if feature_fn is not None:
@@ -154,19 +160,23 @@ class FVDEvaluator(DatasetEvaluator):
 
     def _codes_to_rgb(self, codes: np.ndarray) -> np.ndarray:
         """(nc, T, h, w) codes -> (T, H, W, 3) float frames in [0, 255]."""
-        idx = np.transpose(codes, (1, 2, 3, 0))  # (T, h, w, nc)
-        frames = self._decode(idx)
-        frames = self.vqvae.denormalize(frames)
-        frames = np.asarray(frames)
-        if self._scale01:
-            frames = frames * 255.0
-        return np.clip(frames, 0.0, 255.0)
+        return self._decode_shared(np.transpose(codes, (1, 0, 2, 3)))
 
     def process(self, inputs, outputs):
         for inp, out in zip(inputs, outputs):
             if "samples" not in out:
                 continue
-            real = self._codes_to_rgb(np.asarray(inp["video"]))
+            # real side: prefer actual RGB frames when the dataset carries
+            # them; latent-only datasets fall back to the VQ reconstruction
+            # of the ground-truth codes. NOTE the fallback shares the
+            # VQ-VAE's artifacts with the generated side, so it understates
+            # the true real-vs-generated distance — comparable across runs
+            # of this framework, NOT against published FVD tables.
+            if "image_sequence" in inp:
+                real = np.clip(np.asarray(inp["image_sequence"], np.float32),
+                               0.0, 255.0)
+            else:
+                real = self._codes_to_rgb(np.asarray(inp["video"]))
             self._real.append(np.asarray(self._features(real[None]))[0])
             for sample in out["samples"]:
                 sample = np.asarray(sample)

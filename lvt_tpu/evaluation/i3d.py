@@ -153,8 +153,15 @@ def i3d_apply(params: Dict[str, Any], video: jnp.ndarray) -> jnp.ndarray:
     x = _maxpool(x, (2, 2, 2), (2, 2, 2))
     x = _mix(x, params["Mixed_5b"])
     x = _mix(x, params["Mixed_5c"])
-    # global spatial average + temporal average of per-frame logits
-    x = jnp.mean(x, axis=(2, 3), keepdims=True)  # (b, t', 1, 1, 1024)
+    # canonical I3D head: avg_pool3d (2, 7, 7) VALID stride 1 (NOT a plain
+    # temporal mean — sliding window-2 averaging weights endpoint frames
+    # 1/2), then the 1x1x1 logits conv, then mean over remaining positions
+    t_w = min(2, x.shape[1])
+    h_w = min(7, x.shape[2])
+    w_w = min(7, x.shape[3])
+    window = (1, t_w, h_w, w_w, 1)
+    x = jax.lax.reduce_window(
+        x, 0.0, jax.lax.add, window, (1,) * 5, "VALID") / float(t_w * h_w * w_w)
     logits = jax.lax.conv_general_dilated(
         x, params["Logits"]["w"], (1, 1, 1), "SAME",
         dimension_numbers=("NDHWC", "DHWIO", "NDHWC")) + params["Logits"]["b"]

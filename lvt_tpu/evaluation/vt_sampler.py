@@ -21,9 +21,46 @@ from .evaluator import DatasetEvaluator
 logger = logging.getLogger(__name__)
 
 
+_PAIRED_VQVAE_CACHE = {}
+
+
 def load_paired_vqvae(cfg):
     """Build the VQ-VAE named in TEST.VT_SAMPLER.VQ_VAE and graft its
-    weights (.pth via the torch converter, or an orbax checkpoint dir)."""
+    weights (.pth via the torch converter, or an orbax checkpoint dir).
+
+    Memoized on the four path strings: VTSampler and FVDEvaluator run in the
+    same eval and need the identical model + weights — one build, one set of
+    compiled decode executables (via decode_codes_fn below)."""
+    vq = cfg.TEST.VT_SAMPLER.VQ_VAE
+    key = (vq.CFG, vq.ENCODER_WEIGHTS, vq.GENERATOR_WEIGHTS, vq.CODEBOOK_WEIGHTS)
+    if key in _PAIRED_VQVAE_CACHE:
+        return _PAIRED_VQVAE_CACHE[key]
+    out = _load_paired_vqvae(cfg)
+    _PAIRED_VQVAE_CACHE[key] = out
+    return out
+
+
+def decode_codes_fn(model, params, state, scale_to_zeroone: bool):
+    """Shared jitted (T, nc, h, w) codes -> (T, H, W, 3) [0,255] decoder;
+    cached per model so co-running evaluators reuse one executable."""
+    from ..engine.defaults import _cached_jit
+
+    decode = _cached_jit(
+        model, ("paired_decode",),
+        lambda params, state, idx: model.decode(params, state, idx))
+
+    def decode_codes(codes: np.ndarray) -> np.ndarray:
+        idx = np.transpose(codes, (0, 2, 3, 1))  # (T, h, w, nc)
+        frames = model.denormalize(decode(params, state, idx))
+        frames = np.asarray(frames)
+        if scale_to_zeroone:
+            frames = frames * 255.0
+        return np.clip(frames, 0.0, 255.0)
+
+    return decode_codes
+
+
+def _load_paired_vqvae(cfg):
     from ..models.vqvae import VQVAE
 
     vq_cfg = get_cfg()
@@ -66,18 +103,12 @@ class VTSampler(DatasetEvaluator):
 
         self.vqvae, self._vq_params, self._vq_state, vq_cfg = load_paired_vqvae(cfg)
         self.scale_to_zeroone = vq_cfg.INPUT.SCALE_TO_ZEROONE
-        self._decode = jax.jit(
-            lambda idx: self.vqvae.decode(self._vq_params, self._vq_state, idx))
+        self._decode_shared = decode_codes_fn(
+            self.vqvae, self._vq_params, self._vq_state, self.scale_to_zeroone)
 
     def _decode_codes(self, codes):
         """(T, nc, h, w) int codes -> (T, H, W, 3) uint8 frames."""
-        idx = np.transpose(codes, (0, 2, 3, 1))  # (T, h, w, nc)
-        frames = self._decode(idx)
-        frames = self.vqvae.denormalize(frames)
-        frames = np.asarray(frames)
-        if self.scale_to_zeroone:
-            frames = frames * 255.0
-        return np.clip(frames, 0.0, 255.0).astype(np.uint8)
+        return self._decode_shared(codes).astype(np.uint8)
 
     def process(self, inputs, outputs):
         for inp, out in zip(inputs, outputs):

@@ -262,9 +262,12 @@ def attention_core_pallas_bwd(q, k, v, bias, g, mask: Optional[np.ndarray],
     return dq, dk, dv, dbias.astype(bias.dtype)
 
 
-# the fused backward's VMEM working set is ~6 * n^2 fp32 per program; past
-# this n the XLA backward is used instead (shipped configs: n <= 1024)
-_PALLAS_BWD_MAX_N = 512
+# the fused backward's VMEM working set per program is dominated by the
+# (na, n, n) fp32 dbias accumulator + (na, n, n) bias block + ~4 n^2 fp32
+# scratch — gate on na * n^2 (not n alone: 8 heads at n=512 would blow the
+# ~16 MB v5e VMEM). 2^21 elements ~= 12 MB of those buffers. Past the gate
+# the XLA backward is used (shipped configs: na=8, n=256 -> 524k, fine).
+_PALLAS_BWD_MAX_ELEMS = 2 ** 21
 
 
 @lru_cache(maxsize=8)
@@ -284,8 +287,8 @@ def _attention_core_pallas_ad(masked: bool):
 
     def bwd(res, g):
         q, k, v, bias = res
-        n = q.shape[2]
-        if n <= _PALLAS_BWD_MAX_N:
+        na, n = q.shape[1], q.shape[2]
+        if na * n * n <= _PALLAS_BWD_MAX_ELEMS:
             return attention_core_pallas_bwd(q, k, v, bias, g, _mask(n))
         _, vjp = jax.vjp(
             lambda q_, k_, v_, b_: attention_core_xla(q_, k_, v_, b_, _mask(n)),

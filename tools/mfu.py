@@ -23,14 +23,16 @@ import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
-PEAK_TFLOPS = {
-    # bf16 peak per chip
-    "TPU v5e": 197.0,
-    "TPU v5 lite": 197.0,
-    "TPU v4": 275.0,
-    "TPU v6e": 918.0,
-    "cpu": 1.0,  # so the tool runs in CI; % is meaningless there
-}
+# (substring, bf16 peak TFLOP/s, HBM GB/s) — first match wins, so the more
+# specific "v5p" must precede the "v5 lite"/"v5e" entries
+DEVICE_SPECS = [
+    ("v5p", 459.0, 2765.0),
+    ("v5e", 197.0, 819.0),
+    ("v5 lite", 197.0, 819.0),
+    ("v6e", 918.0, 1640.0),
+    ("v4", 275.0, 1228.0),
+    ("cpu", 1.0, 0.0),  # so the tool runs in CI; % is meaningless there
+]
 
 
 def _analytic_vt_train_flops(model, batch: int) -> float:
@@ -124,7 +126,7 @@ def main():
     # NOTE: fence with a host read of a metric scalar — block_until_ready is
     # not a reliable execution fence through the remote-TPU tunnel
     # (measured: it returned in 0.3 s for 50 chained 130 ms steps)
-    step_fn = trainer._train_step
+    step_fn = compiled  # reuse the AOT executable: no second compile
     state, key = trainer.state, trainer._step_key
     for _ in range(3):  # warmup
         state, metrics = step_fn(state, batch, key)
@@ -141,14 +143,13 @@ def main():
         jax.profiler.stop_trace()
 
     kind = jax.devices()[0].device_kind
-    peak = next((v for k, v in PEAK_TFLOPS.items() if k.lower() in kind.lower()),
-                197.0)
+    peak, peak_bw = next(((p, bw) for k, p, bw in DEVICE_SPECS
+                          if k in kind.lower()), (197.0, 819.0))
     tflops = flops_per_step / dt / 1e12
-    # HBM roofline: XLA-reported bytes accessed per step vs peak bandwidth
-    # (v5e: 819 GB/s). Small-conv models are bandwidth-bound, not FLOPs-bound.
+    # HBM roofline: XLA-reported bytes accessed per step vs peak bandwidth.
+    # Small-conv models are bandwidth-bound, not FLOPs-bound.
     bytes_per_step = float(cost.get("bytes accessed", 0.0))
     hbm_gbps = bytes_per_step / dt / 1e9
-    peak_bw = 819.0 if "v5" in kind.lower() else (1228.0 if "v6" in kind.lower() else 0.0)
     print(json.dumps({
         "config": os.path.basename(args.config),
         "batch": args.batch,
