@@ -162,6 +162,8 @@ def build_vt_infer_fn(cfg, model, params, *, rng=None):
     n_prime_eval = cfg.MODEL.AUTOREGRESSIVE.VT.N_PRIME
     n_prime_sample = cfg.TEST.VT_SAMPLER.N_PRIME
     num_samples = cfg.TEST.VT_SAMPLER.NUM_SAMPLES
+    kv_dtype = cfg.TEST.VT_SAMPLER.KV_DTYPE
+    kv_seg = cfg.TEST.VT_SAMPLER.SEG
     if rng is None:
         rng = jax.random.key(max(cfg.SEED, 0))
     rng_holder = {"key": rng}
@@ -179,11 +181,12 @@ def build_vt_infer_fn(cfg, model, params, *, rng=None):
         crep = None if cls is None else jnp.concatenate([cls] * num_samples)
         primed = vrep.at[:, :, n_prime_sample:].set(0)
         out = model.sample_video(params, primed, key,
-                                 n_prime=n_prime_sample, class_idx=crep)
+                                 n_prime=n_prime_sample, class_idx=crep,
+                                 kv_cache_dtype=kv_dtype, kv_seg_size=kv_seg)
         return out.reshape((num_samples,) + v.shape)
 
     sample_fn = _cached_jit(
-        model, ("vt_sample", num_samples, n_prime_sample),
+        model, ("vt_sample", num_samples, n_prime_sample, kv_dtype, kv_seg),
         _sample) if want_samples else None
 
     def infer(batch):

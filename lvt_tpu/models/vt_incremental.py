@@ -151,6 +151,8 @@ def sample_slice_incremental(params, c: VTConfig, slice_shape, zl, sl, key,
     (q.(K_int*s) = (q.K_int)*s and sum_j w_j s_j V_int_j), so the only
     deviation is int8 rounding of K/V. Halves the dominant HBM traffic.
     """
+    if kv_dtype not in ("native", "int8"):
+        raise ValueError(f"kv_dtype must be 'native' or 'int8', got {kv_dtype!r}")
     use_int8 = kv_dtype == "int8"
     dec = params["decoder"]
     pred = params["predictor"]

@@ -113,7 +113,10 @@ def main():
     def generate(codes, key):
         video = jnp.zeros((1, nc, total_frames, h, w), jnp.int32)
         video = video.at[0, :, :n_prime].set(codes)
-        sampled = vt.sample_video(vt_params, video, key, n_prime=n_prime)[0]
+        sampled = vt.sample_video(
+            vt_params, video, key, n_prime=n_prime,
+            kv_cache_dtype=cfg.TEST.VT_SAMPLER.KV_DTYPE,
+            kv_seg_size=cfg.TEST.VT_SAMPLER.SEG)[0]
         # decode all frames
         idx = jnp.transpose(sampled, (1, 2, 3, 0))  # (T, h, w, nc)
         out = vqvae.decode(vq_params, vq_state, idx)  # (T, H, W, 3)
