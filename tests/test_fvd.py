@@ -186,3 +186,45 @@ def test_fvd_evaluator_pipeline(tmp_path):
     ev.reset()
     ev.process(*batch(1, 4))
     assert np.isnan(ev.evaluate()["generation"]["FVD_stub"])
+
+
+def test_fvd_evaluator_with_i3d_weights(tmp_path):
+    """The real-weights path: an .npz in the canonical schema loads through
+    TEST.FVD.I3D_WEIGHTS and the metric is labeled plain FVD."""
+    from lvt_tpu.config import get_cfg
+    from lvt_tpu.evaluation.i3d import init_i3d
+
+    # save random-init weights in the schema load_i3d_npz expects
+    params = init_i3d(jax.random.key(2))
+    flat = {}
+
+    def flatten(node, prefix=""):
+        for k, v in node.items():
+            if isinstance(v, dict):
+                flatten(v, prefix + k + "/")
+            else:
+                flat[prefix + k] = np.asarray(v)
+
+    flatten(params)
+    wpath = str(tmp_path / "i3d.npz")
+    np.savez(wpath, **flat)
+
+    vq_path = tmp_path / "vq.yaml"
+    vq_path.write_text(VQ_CFG)
+    cfg = get_cfg()
+    cfg.TEST.VT_SAMPLER.VQ_VAE.CFG = str(vq_path)
+    cfg.TEST.FVD.I3D_WEIGHTS = wpath
+    cfg.TEST.FVD.RESIZE = 32  # keep the CPU conv stack small
+
+    ev = FVDEvaluator(cfg, "toy", distributed=False)
+    assert ev._metric == "FVD"  # real network path, not the stub
+
+    r = np.random.default_rng(0)
+    nc, T, h, w = 2, 4, 4, 4
+    inputs = [{"video": r.integers(0, 8, (nc, T, h, w)), "video_idx": i}
+              for i in range(3)]
+    outputs = [{"samples": [r.integers(0, 8, (nc, T, h, w))]}
+               for _ in range(3)]
+    ev.process(inputs, outputs)
+    val = ev.evaluate()["generation"]["FVD"]
+    assert np.isfinite(val) and val >= 0
