@@ -16,10 +16,20 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
 def _measure(trainer, steps):
-    trainer.metrics_period = 1  # per-step metric fetch -> fully synchronous
-    trainer.train(0, 3)  # compile + warmup
+    """Device step time: chained jitted steps on a device-resident batch,
+    fenced by a host read of the loss. (The old per-step-sync method
+    measured the ~190 ms remote-tunnel round trip, not compute —
+    BASELINE.md round-2 methodology.)"""
+    batch = trainer._put_batch(next(iter(trainer._data_loader)))
+    step, state, key = trainer._train_step, trainer.state, trainer._step_key
+    for _ in range(3):  # compile + warmup
+        state, metrics = step(state, batch, key)
+    float(next(iter(metrics.values())))
     t0 = time.perf_counter()
-    trainer.train(3, 3 + steps)
+    for _ in range(steps):
+        state, metrics = step(state, batch, key)
+    float(next(iter(metrics.values())))  # hard fence
+    trainer.state = state
     return (time.perf_counter() - t0) / steps
 
 
