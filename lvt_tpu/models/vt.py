@@ -30,6 +30,7 @@ import numpy as np
 from ..ops import subscale as ss
 from ..ops.attention import BlockAttnParams, block_local_attention, init_block_attn
 from ..ops.conv import masked_conv3d, subscale_context_encode
+from ..ops.embedding import take_rows
 from ..ops.posenc import add_positional_encoding
 from ..utils.registry import Registry
 
@@ -229,7 +230,9 @@ def vt_decode(params, c: VTConfig, slice_codes, zl, *, use_pallas=None,
     emb = jnp.zeros(slice_codes.shape[:1] + slice_codes.shape[2:] + (c.de,),
                     dec["ch_embed"].dtype)
     for k in range(c.nc):
-        emb = emb + jnp.take(dec["ch_embed"][k], slice_codes[:, k], axis=0)
+        # take_rows: backward as one-hot matmul (16k+ lookups into nv rows —
+        # the natural scatter-add collides on every row and serializes)
+        emb = emb + take_rows(dec["ch_embed"][k], slice_codes[:, k])
     x = masked_conv3d(emb, dec["conv_w"], dec["conv_b"])
     x = add_positional_encoding(x)
     x = x + zl @ dec["projector"]
@@ -258,7 +261,7 @@ def _predictor_u(pred, c: VTConfig, k: int, y, codes):
     nv = c.nv
     u = y @ w[:d] + pred["U_b"][k]
     for j in range(k):
-        u = u + jnp.take(w[d + j * nv : d + (j + 1) * nv], codes[..., j], axis=0)
+        u = u + take_rows(w[d + j * nv : d + (j + 1) * nv], codes[..., j])
     return u
 
 

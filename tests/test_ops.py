@@ -322,3 +322,34 @@ def test_ctx_encode_custom_backward_matches_gather_vjp(rng, stride, kernel):
     got = jax.grad(loss_custom)(table)
     want = jax.grad(loss_natural)(table)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4)
+
+
+def test_take_rows_backward_matches_gather_vjp(rng):
+    """ops.embedding.take_rows: forward == jnp.take; d(table) from the
+    one-hot matmul == the natural scatter-add vjp, including grad flow
+    through a sliced view of a larger parameter (the predictor U_w case)."""
+    from lvt_tpu.ops.embedding import take_rows
+
+    V, de = 7, 8
+    table = jnp.asarray(rng.standard_normal((V, de)), jnp.float32)
+    idx = jnp.asarray(rng.integers(0, V, size=(3, 5, 4)), jnp.int32)
+    g = jnp.asarray(rng.standard_normal((3, 5, 4, de)), jnp.float32)
+
+    np.testing.assert_array_equal(np.asarray(take_rows(table, idx)),
+                                  np.asarray(jnp.take(table, idx, axis=0)))
+
+    def loss_custom(tab):
+        return jnp.vdot(take_rows(tab, idx), g)
+
+    def loss_natural(tab):
+        return jnp.vdot(jnp.take(tab, idx, axis=0), g)
+
+    got = jax.grad(loss_custom)(table)
+    want = jax.grad(loss_natural)(table)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4)
+
+    # through a slice of a bigger parameter (predictor U_w lower block)
+    big = jnp.asarray(rng.standard_normal((V + 4, de)), jnp.float32)
+    got2 = jax.grad(lambda b: jnp.vdot(take_rows(b[4:], idx), g))(big)
+    want2 = jax.grad(lambda b: jnp.vdot(jnp.take(b[4:], idx, axis=0), g))(big)
+    np.testing.assert_allclose(np.asarray(got2), np.asarray(want2), atol=1e-4)

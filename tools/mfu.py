@@ -35,7 +35,7 @@ DEVICE_SPECS = [
 ]
 
 
-def _analytic_vt_train_flops(model, batch: int) -> float:
+def _analytic_vt_train_flops(model, batch: int, T: int = 16) -> float:
     """Matmul FLOPs (2*M*N*K) of one VT train step: forward + 2x backward.
 
     Per token per layer: qkv 6*d*nada, proj 2*nada*d, ffn 4*d^2, attention
@@ -43,7 +43,7 @@ def _analytic_vt_train_flops(model, batch: int) -> float:
     The channel predictor adds per-channel U/P matmuls on decoder tokens.
     """
     c = model.c
-    t, h, w = model.plan.slice_shape
+    t, h, w = model._plan_for(T, model.H, model.W).slice_shape
     thw = t * h * w
     d = c.d
 
@@ -95,13 +95,18 @@ def main():
 
     rng = np.random.default_rng(0)
     is_vt = cfg.MODEL.META_ARCHITECTURE == "VideoTransformerModel"
+    # reference training geometry: the mapper's temporal crop length
+    # (DSSVT trains on T=4 clips, DSFVT on T=16 — configs/vt/*.yaml)
+    vT = cfg.INPUT.N_FRAMES_PER_VIDEO_TRAIN
+    v = cfg.MODEL.AUTOREGRESSIVE.VT
 
     class Loader:
         def __iter__(self):
             while True:
                 if is_vt:
                     yield {"video": rng.integers(
-                        0, 512, size=(args.batch, 4, 16, 16, 16)).astype(np.int32)}
+                        0, v.NV,
+                        size=(args.batch, v.NC, vT, 16, 16)).astype(np.int32)}
                 else:
                     yield {"image": rng.random(
                         (args.batch, 64, 64, 3)).astype(np.float32)}
@@ -116,7 +121,8 @@ def main():
     flops_per_step = float(cost.get("flops", 0.0))
     # XLA's post-fusion cost analysis misses fusion-internal flops (observed
     # ~5x undercount on the VT step); use the analytic count when available
-    analytic = _analytic_vt_train_flops(trainer.model, args.batch) if is_vt else None
+    analytic = (_analytic_vt_train_flops(trainer.model, args.batch, T=vT)
+                if is_vt else None)
     if analytic:
         flops_per_step = analytic
 
