@@ -149,6 +149,13 @@ def _layer_norm(x, scale, bias, eps=1e-5):
     return (y * scale.astype(jnp.float32) + bias.astype(jnp.float32)).astype(x.dtype)
 
 
+def _checkpoint_policy(remat):
+    """remat: False | True (save nothing) | "dots" (save matmul outputs)."""
+    if remat == "dots":
+        return jax.checkpoint_policies.checkpoint_dots
+    return None
+
+
 def _apply_attn_stack(x, layers, blocks, masked, *, use_pallas=None,
                       remat=False):
     """Run a stack of BlockLocalAttention layers.
@@ -190,14 +197,17 @@ def _apply_attn_stack(x, layers, blocks, masked, *, use_pallas=None,
                 tok = mha_tokens(tok, pp, bias, mask, use_pallas=use_pallas)
                 return ffn_tokens(tok, pp)
 
-            f = jax.checkpoint(layer) if remat else layer
+            f = (jax.checkpoint(layer, policy=_checkpoint_policy(remat))
+                 if remat else layer)
             return f(tok, pp), None
 
         tokens, _ = jax.lax.scan(body, tokens, stacked)
         return merge_blocks(tokens, geom)
 
     for p, blk in zip(layers, blocks):
-        f = jax.checkpoint(one, static_argnums=(2,)) if remat else one
+        f = (jax.checkpoint(one, static_argnums=(2,),
+                            policy=_checkpoint_policy(remat))
+             if remat else one)
         x = f(x, p, blk)
     return x
 
@@ -327,7 +337,9 @@ class VideoTransformer:
         self.plan = self._plan_for(T, H, W)  # default geometry
         self.ignore_index = cfg.MODEL.IGNORE_INDEX
         self.use_pallas: Optional[bool] = None
-        self.remat = bool(cfg.TPU.REMAT)
+        # False | True (full remat) | "dots" (policy, see TPU.REMAT_POLICY)
+        self.remat = ((getattr(cfg.TPU, "REMAT_POLICY", "") or True)
+                      if cfg.TPU.REMAT else False)
 
     def _plan_for(self, T: int, H: int, W: int):
         """Subscale gather plan for one latent geometry. Params are
@@ -398,8 +410,16 @@ class VideoTransformer:
         targets = jnp.moveaxis(slice_codes, 1, -1)  # (b, t, h, w, nc)
         valid = ~ignore[..., None]  # (b, t, h, w, 1) -> broadcast over nc
 
-        logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-        ce = -jnp.take_along_axis(logp, targets[..., None], axis=-1)[..., 0]
+        # CE as logsumexp - one-hot dot: take_along_axis's gather costs ~1 ms
+        # and its vjp is a scatter into the full logits buffer (~1.5 ms more);
+        # the one-hot contraction fuses into elementwise passes with a clean
+        # (softmax - onehot) backward, no gather/scatter at all
+        logits32 = logits.astype(jnp.float32)
+        lse = jax.nn.logsumexp(logits32, axis=-1)
+        true_logit = jnp.sum(
+            logits32 * jax.nn.one_hot(targets, self.c.nv, dtype=jnp.float32),
+            axis=-1)
+        ce = lse - true_logit
         valid_f = jnp.broadcast_to(valid, ce.shape).astype(jnp.float32)
         # per-channel mean over non-ignored, then mean over channels
         # (vt.py:309-312: sum of per-channel F.cross_entropy / nc)

@@ -72,6 +72,10 @@ def main():
     p.add_argument("--batch", type=int, default=64)
     p.add_argument("--steps", type=int, default=20)
     p.add_argument("--remat", action="store_true")
+    p.add_argument("--no-remat", action="store_true")
+    p.add_argument("--remat-policy", default="",
+                   help="TPU.REMAT_POLICY ('dots' = save matmul outputs); "
+                        "implies --remat")
     p.add_argument("--dtype", default=None, help="override TPU.COMPUTE_DTYPE")
     p.add_argument("--trace", default="", help="capture a profiler trace here")
     args = p.parse_args()
@@ -87,8 +91,11 @@ def main():
     cfg = get_cfg()
     cfg.merge_from_file(os.path.join(root, args.config))
     cfg.SOLVER.IMS_PER_BATCH = args.batch
-    if args.remat:
+    if args.remat or args.remat_policy:
         cfg.TPU.REMAT = True
+        cfg.TPU.REMAT_POLICY = args.remat_policy
+    if args.no_remat:
+        cfg.TPU.REMAT = False
     if args.dtype:
         cfg.TPU.COMPUTE_DTYPE = args.dtype
     cfg.VIS_PERIOD = 0
@@ -159,7 +166,8 @@ def main():
     print(json.dumps({
         "config": os.path.basename(args.config),
         "batch": args.batch,
-        "remat": bool(args.remat),
+        "remat": bool(cfg.TPU.REMAT),
+        "remat_policy": cfg.TPU.REMAT_POLICY,
         "compute_dtype": cfg.TPU.COMPUTE_DTYPE,
         "device_kind": kind,
         "s_per_it": round(dt, 4),
