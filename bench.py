@@ -32,6 +32,8 @@ def main():
     parser.add_argument("--iters", type=int, default=5)
     parser.add_argument("--dtype", default="bfloat16", choices=["bfloat16", "float32"],
                         help="sampling weight/activation dtype (softmax/logits stay fp32)")
+    parser.add_argument("--weights", default="native", choices=["native", "int8"],
+                        help="stream per-pixel decoder weights as int8")
     parser.add_argument("--kv", default="int8", choices=["native", "int8"],
                         help="KV-cache storage dtype in the sampler (int8 = "
                              "per-row absmax quantized caches, exact scale "
@@ -85,7 +87,8 @@ def main():
         video = video.at[:, :, :n_prime].set(codes)
         sampled = vt.sample_video(vt_params, video, key, n_prime=n_prime,
                                   incremental=not args.full_recompute,
-                                  kv_cache_dtype=args.kv)
+                                  kv_cache_dtype=args.kv,
+                                  weight_dtype=args.weights)
         idx = jnp.transpose(sampled, (0, 2, 3, 4, 1)).reshape(B * 16, 16, 16, vt.c.nc)
         out = vq.decode(vq_params, vq_state, idx)
         return jnp.clip(vq.denormalize(out), 0.0, 1.0)
@@ -122,6 +125,7 @@ def main():
             "ar_tokens_per_sec": round(tokens_per_sec, 1),
             "dtype": args.dtype,
             "kv_cache": args.kv,
+            "weights": args.weights,
             "sampler": "full_recompute" if args.full_recompute else "kv_cache",
             "backend": jax.default_backend(),
         },

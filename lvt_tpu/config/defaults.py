@@ -164,6 +164,9 @@ _C.TEST.VT_SAMPLER.NUM_SAMPLES = 10
 # only int8 rounding of K/V differs); SEG sets the cache growth segment
 _C.TEST.VT_SAMPLER.KV_DTYPE = "native"
 _C.TEST.VT_SAMPLER.SEG = 0
+# int8 additionally streams the per-pixel decoder weights (fused QKV, proj,
+# FFN) as int8 with exactly-folded per-column scales
+_C.TEST.VT_SAMPLER.WEIGHT_DTYPE = "native"
 # FVD (new capability; no reference counterpart): I3D weights as a converted
 # .npz — empty means the stub feature net (metric reported as FVD_stub)
 _C.TEST.FVD = CN()

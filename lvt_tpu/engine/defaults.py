@@ -164,6 +164,7 @@ def build_vt_infer_fn(cfg, model, params, *, rng=None):
     num_samples = cfg.TEST.VT_SAMPLER.NUM_SAMPLES
     kv_dtype = cfg.TEST.VT_SAMPLER.KV_DTYPE
     kv_seg = cfg.TEST.VT_SAMPLER.SEG
+    w_dtype = getattr(cfg.TEST.VT_SAMPLER, "WEIGHT_DTYPE", "native")
     if rng is None:
         rng = jax.random.key(max(cfg.SEED, 0))
     rng_holder = {"key": rng}
@@ -182,11 +183,13 @@ def build_vt_infer_fn(cfg, model, params, *, rng=None):
         primed = vrep.at[:, :, n_prime_sample:].set(0)
         out = model.sample_video(params, primed, key,
                                  n_prime=n_prime_sample, class_idx=crep,
-                                 kv_cache_dtype=kv_dtype, kv_seg_size=kv_seg)
+                                 kv_cache_dtype=kv_dtype, kv_seg_size=kv_seg,
+                                 weight_dtype=w_dtype)
         return out.reshape((num_samples,) + v.shape)
 
     sample_fn = _cached_jit(
-        model, ("vt_sample", num_samples, n_prime_sample, kv_dtype, kv_seg),
+        model, ("vt_sample", num_samples, n_prime_sample, kv_dtype, kv_seg,
+                w_dtype),
         _sample) if want_samples else None
 
     def infer(batch):

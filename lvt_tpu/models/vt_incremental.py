@@ -134,10 +134,19 @@ def _embed_sum_codes(dec, c: VTConfig, codes):
     return out
 
 
+def _quantize_cols(w, cdtype):
+    """(in, out) weight -> (int8 weight, (out,) scale). Exact fold:
+    y @ (W_int * s[None, :]) == (y @ W_int) * s."""
+    s = jnp.max(jnp.abs(w), axis=0) / 127.0
+    wi = jnp.clip(jnp.round(w / (s[None, :] + 1e-8)), -127, 127).astype(jnp.int8)
+    return wi, s.astype(cdtype)
+
+
 def sample_slice_incremental(params, c: VTConfig, slice_shape, zl, sl, key,
                              primed, temp, greedy: bool = False,
                              kv_dtype: str = "native",
-                             seg_size: int = 0):
+                             seg_size: int = 0,
+                             weight_dtype: str = "native"):
     """Exact AR sampling of one slice with cached decoder state.
 
     params: the netG tree; zl: (b, t, h, w, d) encoder output;
@@ -150,9 +159,20 @@ def sample_slice_incremental(params, c: VTConfig, slice_shape, zl, sl, key,
     the scales fold exactly into the attention algebra
     (q.(K_int*s) = (q.K_int)*s and sum_j w_j s_j V_int_j), so the only
     deviation is int8 rounding of K/V. Halves the dominant HBM traffic.
+
+    weight_dtype: "int8" additionally streams the per-pixel layer weights
+    (fused QKV, proj, FFN) as int8 with per-output-column absmax scales,
+    folded exactly into the following multiply. NEGATIVE RESULT on DSFVT
+    batch 128 (BASELINE.md): 297 vs 544 fps — unlike the K/V caches (whose
+    int8 convert fuses into the attention contraction), XLA materializes
+    the weight dequant for the (b, d) x (d, 3*na*da) matmuls, so traffic
+    goes UP. Kept as a correct, tested option for future shapes/backends.
     """
     if kv_dtype not in ("native", "int8"):
         raise ValueError(f"kv_dtype must be 'native' or 'int8', got {kv_dtype!r}")
+    if weight_dtype not in ("native", "int8"):
+        raise ValueError(
+            f"weight_dtype must be 'native' or 'int8', got {weight_dtype!r}")
     use_int8 = kv_dtype == "int8"
     dec = params["decoder"]
     pred = params["predictor"]
@@ -188,6 +208,21 @@ def sample_slice_incremental(params, c: VTConfig, slice_shape, zl, sl, key,
         ], axis=1)
         for lp in dec["layers"]
     ]
+    use_int8_w = weight_dtype == "int8"
+    if use_int8_w:
+        # quantized ONCE here; inside the pixel scan each matmul streams the
+        # int8 bytes and folds the column scales into the product
+        wqkv = [_quantize_cols(w, cdtype) for w in wqkv]
+        proj_q = [_quantize_cols(lp.proj, cdtype) for lp in dec["layers"]]
+        ffn1_q = [_quantize_cols(lp.ffn_w1, cdtype) for lp in dec["layers"]]
+        ffn2_q = [_quantize_cols(lp.ffn_w2, cdtype) for lp in dec["layers"]]
+
+    def _mm(y, w):
+        """y @ w for native weights, (y @ w_int) * scale for int8."""
+        if isinstance(w, tuple):
+            wi, s = w
+            return (y @ wi.astype(cdtype)) * s
+        return y @ w
 
     def pixel_step(carry: SliceCarry, p):
         """One raster position. The K/V caches in `carry` may be shorter than
@@ -210,7 +245,7 @@ def sample_slice_incremental(params, c: VTConfig, slice_shape, zl, sl, key,
         for l in range(L):
             lp: BlockAttnParams = dec["layers"][l]
             y = _layer_norm(x, lp.ln_scale, lp.ln_bias)
-            qkv = (y @ wqkv[l]).reshape(b, 3, na, da)
+            qkv = _mm(y, wqkv[l]).reshape(b, 3, na, da)
             q, kk, vv = qkv[:, 0], qkv[:, 1], qkv[:, 2]
             if use_int8:
                 sk = jnp.max(jnp.abs(kk), axis=-1).astype(cdtype) / 127.0
@@ -237,11 +272,12 @@ def sample_slice_incremental(params, c: VTConfig, slice_shape, zl, sl, key,
             if use_int8:
                 wgt = wgt * new_vs[l]  # fold V scales into the weights
             out = jnp.einsum("baj,bajk->bak", wgt, vc.astype(cdtype)).reshape(b, na * da)
-            x = out @ lp.proj + x
+            x = _mm(out, proj_q[l] if use_int8_w else lp.proj) + x
             # FFN at p
             yf = _layer_norm(x, lp.ffn_ln_scale, lp.ffn_ln_bias)
-            yf = jax.nn.relu(yf @ lp.ffn_w1 + lp.ffn_b1)
-            x = yf @ lp.ffn_w2 + lp.ffn_b2 + x
+            yf = jax.nn.relu(
+                _mm(yf, ffn1_q[l] if use_int8_w else lp.ffn_w1) + lp.ffn_b1)
+            x = _mm(yf, ffn2_q[l] if use_int8_w else lp.ffn_w2) + lp.ffn_b2 + x
 
         y_pix = _layer_norm(x, pred["ln_scale"], pred["ln_bias"])
         key, sub = jax.random.split(carry.key)

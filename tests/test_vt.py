@@ -180,7 +180,7 @@ def test_remat_flag_preserves_loss_and_grads(rng):
     from lvt_tpu.config import get_cfg
     from lvt_tpu.models.vt import VideoTransformer
 
-    def build(remat):
+    def build(remat, policy=""):
         cfg = get_cfg()
         cfg.MODEL.META_ARCHITECTURE = "VideoTransformerModel"
         v = cfg.MODEL.AUTOREGRESSIVE.VT
@@ -193,9 +193,10 @@ def test_remat_flag_preserves_loss_and_grads(rng):
         v.N_HEAD_D = (2, 2)
         v.N_PRIME = 1
         cfg.TPU.REMAT = remat
+        cfg.TPU.REMAT_POLICY = policy
         return VideoTransformer(cfg, T=4, H=4, W=4)
 
-    m0, m1 = build(False), build(True)
+    m0 = build(False)
     params, _ = m0.init(jax.random.key(0))
     video = jnp.asarray(rng.integers(0, 8, size=(2, 2, 4, 4, 4)), jnp.int32)
     key = jax.random.key(3)
@@ -204,7 +205,9 @@ def test_remat_flag_preserves_loss_and_grads(rng):
         return lambda p: m.loss(p, {"video": video}, key)[0]
 
     l0, g0 = jax.value_and_grad(loss(m0))(params)
-    l1, g1 = jax.value_and_grad(loss(m1))(params)
-    np.testing.assert_allclose(float(l0), float(l1), rtol=1e-6)
-    for a, b in zip(jax.tree_util.tree_leaves(g0), jax.tree_util.tree_leaves(g1)):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+    for m1 in (build(True), build(True, "dots")):
+        l1, g1 = jax.value_and_grad(loss(m1))(params)
+        np.testing.assert_allclose(float(l0), float(l1), rtol=1e-6)
+        for a, b in zip(jax.tree_util.tree_leaves(g0),
+                        jax.tree_util.tree_leaves(g1)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)

@@ -143,3 +143,42 @@ def test_seg_size_does_not_change_greedy_output(rng):
         got = m.sample_video(params, video, key, n_prime=1, greedy=True,
                              kv_seg_size=seg)
         np.testing.assert_array_equal(np.asarray(base), np.asarray(got))
+
+
+def test_quantize_cols_fold_is_exact(rng):
+    """y @ (W_int * s) must equal (y @ W_int) * s, and dequantized int8
+    weights must sit within one quantization step of the original."""
+    w = jnp.asarray(rng.standard_normal((32, 48)), jnp.float32)
+    wi, s = vti._quantize_cols(w, jnp.float32)
+    deq = wi.astype(jnp.float32) * s[None, :]
+    step = np.asarray(s)[None, :]
+    assert np.all(np.abs(np.asarray(deq) - np.asarray(w)) <= step * 0.5 + 1e-6)
+
+    y = jnp.asarray(rng.standard_normal((4, 32)), jnp.float32)
+    np.testing.assert_allclose(np.asarray((y @ wi.astype(jnp.float32)) * s),
+                               np.asarray(y @ deq), rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("kv,weights", [("int8", "native"),
+                                        ("native", "int8"),
+                                        ("int8", "int8")])
+def test_int8_modes_track_native_greedy(rng, kv, weights):
+    """int8 KV caches / int8 streamed weights are perf knobs whose only
+    deviation is int8 rounding: greedy samples must agree with the native
+    path at >= 90% of positions on a tiny model (bit-exactness is not
+    guaranteed — argmax can flip where two logits are within rounding)."""
+    stride, kernel, blocks, THW = CASES[0]
+    cfg = _cfg(stride, kernel, blocks)
+    m = VideoTransformer(cfg, T=THW[0], H=THW[1], W=THW[2])
+    params, _ = m.init(jax.random.key(0))
+    video = jnp.asarray(
+        rng.integers(0, m.c.nv, size=(2, m.c.nc, *THW)), jnp.int32)
+    key = jax.random.key(5)
+    base = np.asarray(m.sample_video(params, video, key, n_prime=1,
+                                     greedy=True))
+    got = np.asarray(m.sample_video(params, video, key, n_prime=1,
+                                    greedy=True, kv_cache_dtype=kv,
+                                    weight_dtype=weights))
+    assert got.shape == base.shape and got.min() >= 0 and got.max() < m.c.nv
+    agree = float((got == base).mean())
+    assert agree >= 0.90, f"greedy agreement {agree:.3f} with kv={kv}, w={weights}"

@@ -25,6 +25,9 @@ def main():
     p.add_argument("--batch", type=int, default=8)
     p.add_argument("--iters", type=int, default=3)
     p.add_argument("--kv", default="native", choices=["native", "int8"])
+    p.add_argument("--weights", default="native", choices=["native", "int8"],
+                   help="stream per-pixel decoder weights as int8 "
+                        "(per-column scales folded exactly)")
     p.add_argument("--seg", type=int, default=0, help="cache segment size "
                    "(0 = heuristic max(64, thw//4))")
     p.add_argument("--dtype", default="bfloat16")
@@ -55,7 +58,7 @@ def main():
 
     fn = jax.jit(lambda v, k: model.sample_video(
         params, v, k, n_prime=n_prime, kv_cache_dtype=args.kv,
-        kv_seg_size=args.seg))
+        kv_seg_size=args.seg, weight_dtype=args.weights))
     key = jax.random.key(7)
     fn(video, key).block_until_ready()  # compile
 
