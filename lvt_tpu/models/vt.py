@@ -367,17 +367,36 @@ class VideoTransformer:
         b, nc, T, H, W = video.shape
         plan = self._plan_for(T, H, W)
         vflat = video.reshape(b, nc, -1)
-        ctx_maps = jnp.asarray(plan.ctx_src)  # (S, T', H', W')
         sl_maps = jnp.asarray(plan.slice_src)  # (S, t, h, w)
 
         def per_sample(vf, sidx):
-            ctx = ss.gather_context(vf, ctx_maps[sidx], self.c.pad_value)
             sl = ss.gather_slice(vf, sl_maps[sidx])
             frame = sl_maps[sidx] // (H * W)  # video frame per slice pos
             ignore = frame < self.c.n_prime
-            return ctx, sl, ignore
+            return sl, ignore
 
-        return jax.vmap(per_sample)(vflat, slice_idx)
+        sl, ignore = jax.vmap(per_sample)(vflat, slice_idx)
+        ctx = self._gather_ctx(plan, vflat, slice_idx)
+        return ctx, sl, ignore
+
+    def _gather_ctx(self, plan, vflat, s):
+        """Context codes for slice index s (scalar for scan bodies, (b,)
+        vector for per-sample training prep). Uses the frame-row fast path
+        when the plan's context map is frame-uniform (see
+        SubscalePlan.ctx_frame_src) — the generic per-element gather is
+        latency-bound on TPU (~1.5 ms/step on DSFVT b64)."""
+        b, nc = vflat.shape[:2]
+        T, H, W = plan.T, plan.H, plan.W
+        if plan.ctx_frame_src is not None:
+            fmap = jnp.asarray(plan.ctx_frame_src)[s]  # (T',) or (b, T')
+            v4 = vflat.reshape(b, nc, T, H * W)
+            ctx = ss.gather_context_frames(v4, fmap, self.c.pad_value)
+            return ctx.reshape(b, nc, fmap.shape[-1], H, W)
+        ctx_maps = jnp.asarray(plan.ctx_src)
+        if jnp.ndim(s) == 0:
+            return ss.gather_context(vflat, ctx_maps[s], self.c.pad_value)
+        return jax.vmap(lambda vf, si: ss.gather_context(
+            vf, ctx_maps[si], self.c.pad_value))(vflat, s)
 
     def sample_train_slice_idx(self, key, batch: int, T: Optional[int] = None):
         """Random (a,b,c) per sample. For the single-frame geometry (t==1,
@@ -476,14 +495,13 @@ class VideoTransformer:
         b, nc, T, H, W = video.shape
         plan = self._plan_for(T, H, W)
         vflat = video.reshape(b, nc, -1)
-        ctx_maps = jnp.asarray(plan.ctx_src)
         sl_maps = jnp.asarray(plan.slice_src)
         S = plan.num_slices
         THW = T * H * W
 
         def body(carry, s):
             logits_flat = carry
-            ctx = ss.gather_context(vflat, ctx_maps[s], self.c.pad_value)
+            ctx = self._gather_ctx(plan, vflat, s)
             sl = ss.gather_slice(vflat, sl_maps[s])
             sidx = jnp.full((b,), s, jnp.int32)
             lg = vt_logits(params["netG"], self.c, ctx, sl, sidx, class_idx,
@@ -518,7 +536,6 @@ class VideoTransformer:
         t, h, w = plan.slice_shape
         thw = t * h * w
         vflat = video.reshape(b, nc, -1)
-        ctx_maps = jnp.asarray(plan.ctx_src)
         sl_maps = jnp.asarray(plan.slice_src)
         S = plan.num_slices
 
@@ -530,7 +547,7 @@ class VideoTransformer:
 
             def run(operand):
                 sl, key = operand
-                ctx = ss.gather_context(vf, ctx_maps[s], c.pad_value)
+                ctx = self._gather_ctx(plan, vf, s)
                 sidx = jnp.full((b,), s, jnp.int32)
                 zl = vt_encode(params["netG"], c, ctx, sidx, class_idx,
                                use_pallas=self.use_pallas)

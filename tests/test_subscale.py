@@ -117,3 +117,39 @@ def test_plan_slice_gather_scatter_roundtrip():
         # scatter back is identity
         video2 = ss.scatter_slice(video, jnp.asarray(plan.slice_src[s]), sl)
         np.testing.assert_array_equal(np.asarray(video2), np.asarray(video))
+
+
+def test_frame_decomposition_matches_generic_gather(rng):
+    """For frame-granular geometries (sh=sw=1, kh=kw=1) the plan exposes
+    ctx_frame_src and the frame-row gather must equal the generic
+    per-element gather_context for every slice."""
+    import jax.numpy as jnp
+
+    from lvt_tpu.ops import subscale as ss
+
+    T, H, W = 8, 4, 4
+    plan = ss.build_plan(4, 1, 1, T, H, W, 3, 1, 1)  # DSFVT-like
+    assert plan.ctx_frame_src is not None
+    assert plan.ctx_frame_src.shape == (4, plan.ctx_shape[0])
+
+    video = jnp.asarray(
+        rng.integers(0, 9, size=(2, 3, T * H * W)), jnp.int32)
+    v4 = video.reshape(2, 3, T, H * W)
+    for s in range(plan.num_slices):
+        want = ss.gather_context(video, jnp.asarray(plan.ctx_src[s]), -1)
+        got = ss.gather_context_frames(
+            v4, jnp.asarray(plan.ctx_frame_src[s]), -1)
+        np.testing.assert_array_equal(
+            np.asarray(got).reshape(want.shape), np.asarray(want))
+    # batched per-sample form
+    sidx = jnp.asarray([1, 3])
+    got_b = ss.gather_context_frames(
+        v4, jnp.asarray(plan.ctx_frame_src)[sidx], -1)
+    for i, s in enumerate([1, 3]):
+        want = ss.gather_context(video[i], jnp.asarray(plan.ctx_src[s]), -1)
+        np.testing.assert_array_equal(
+            np.asarray(got_b[i]).reshape(want.shape), np.asarray(want))
+
+    # spatial-subscale geometry cannot frame-decompose
+    plan2 = ss.build_plan(1, 2, 2, 4, 4, 4, 1, 3, 3)
+    assert plan2.ctx_frame_src is None
