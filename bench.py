@@ -39,6 +39,12 @@ def main():
                              "per-row absmax quantized caches, exact scale "
                              "folding, +58%% at batch 128; greedy agreement "
                              "tested; --kv native for bit-exact caches)")
+    parser.add_argument("--seg", type=int, default=16,
+                        help="KV-cache growth segment (0 = thw//4). Sweep at "
+                             "batch 128 int8: 64->543.6, 32->553.6, "
+                             "16->563.6, 8->536.4 fps — the over-read past "
+                             "the current pixel shrinks with seg until scan "
+                             "overhead wins")
     parser.add_argument("--full-recompute", action="store_true",
                         help="disable the KV-cached decoder (reference formulation)")
     parser.add_argument("--baseline-pixels", type=int, default=64,
@@ -88,6 +94,7 @@ def main():
         sampled = vt.sample_video(vt_params, video, key, n_prime=n_prime,
                                   incremental=not args.full_recompute,
                                   kv_cache_dtype=args.kv,
+                                  kv_seg_size=args.seg,
                                   weight_dtype=args.weights)
         idx = jnp.transpose(sampled, (0, 2, 3, 4, 1)).reshape(B * 16, 16, 16, vt.c.nc)
         out = vq.decode(vq_params, vq_state, idx)
@@ -126,6 +133,7 @@ def main():
             "dtype": args.dtype,
             "kv_cache": args.kv,
             "weights": args.weights,
+            "seg": args.seg,
             "sampler": "full_recompute" if args.full_recompute else "kv_cache",
             "backend": jax.default_backend(),
         },
