@@ -34,7 +34,7 @@ def main():
                         help="sampling weight/activation dtype (softmax/logits stay fp32)")
     parser.add_argument("--weights", default="native", choices=["native", "int8"],
                         help="stream per-pixel decoder weights as int8")
-    parser.add_argument("--kv", default="int8", choices=["native", "int8"],
+    parser.add_argument("--kv", default="int8", choices=["native", "int8", "int4"],
                         help="KV-cache storage dtype in the sampler (int8 = "
                              "per-row absmax quantized caches, exact scale "
                              "folding, +58%% at batch 128; greedy agreement "

@@ -168,12 +168,17 @@ def sample_slice_incremental(params, c: VTConfig, slice_shape, zl, sl, key,
     the weight dequant for the (b, d) x (d, 3*na*da) matmuls, so traffic
     goes UP. Kept as a correct, tested option for future shapes/backends.
     """
-    if kv_dtype not in ("native", "int8"):
-        raise ValueError(f"kv_dtype must be 'native' or 'int8', got {kv_dtype!r}")
+    if kv_dtype not in ("native", "int8", "int4"):
+        raise ValueError(
+            f"kv_dtype must be 'native', 'int8' or 'int4', got {kv_dtype!r}")
     if weight_dtype not in ("native", "int8"):
         raise ValueError(
             f"weight_dtype must be 'native' or 'int8', got {weight_dtype!r}")
-    use_int8 = kv_dtype == "int8"
+    use_int8 = kv_dtype in ("int8", "int4")
+    # int4: same per-row absmax scheme at 15 levels; storage is jnp.int4 so
+    # the cache reads halve again vs int8. Opt-in — rounding error is ~16x
+    # int8's; greedy-agreement is unit-tested but expect distributional drift.
+    qmax = 7.0 if kv_dtype == "int4" else 127.0
     dec = params["decoder"]
     pred = params["predictor"]
     t, h, w = slice_shape
@@ -248,12 +253,12 @@ def sample_slice_incremental(params, c: VTConfig, slice_shape, zl, sl, key,
             qkv = _mm(y, wqkv[l]).reshape(b, 3, na, da)
             q, kk, vv = qkv[:, 0], qkv[:, 1], qkv[:, 2]
             if use_int8:
-                sk = jnp.max(jnp.abs(kk), axis=-1).astype(cdtype) / 127.0
-                sv = jnp.max(jnp.abs(vv), axis=-1).astype(cdtype) / 127.0
+                sk = jnp.max(jnp.abs(kk), axis=-1).astype(cdtype) / qmax
+                sv = jnp.max(jnp.abs(vv), axis=-1).astype(cdtype) / qmax
                 kk = jnp.clip(jnp.round(kk / (sk[..., None] + 1e-8)),
-                              -127, 127).astype(jnp.int8)
+                              -qmax, qmax).astype(kv_store)
                 vv = jnp.clip(jnp.round(vv / (sv[..., None] + 1e-8)),
-                              -127, 127).astype(jnp.int8)
+                              -qmax, qmax).astype(kv_store)
                 new_ks = new_ks.at[l, :, :, p].set(sk)
                 new_vs = new_vs.at[l, :, :, p].set(sv)
             new_k = new_k.at[l, :, :, p].set(kk)
@@ -303,7 +308,7 @@ def sample_slice_incremental(params, c: VTConfig, slice_shape, zl, sl, key,
     if bounds[-1] != thw:
         bounds.append(thw)
 
-    kv_store = jnp.int8 if use_int8 else cdtype
+    kv_store = {"int8": jnp.int8, "int4": jnp.int4}.get(kv_dtype, cdtype)
     scale_len0 = bounds[0] if use_int8 else 1
     carry = SliceCarry(
         sl=sl_flat,

@@ -161,7 +161,8 @@ def test_quantize_cols_fold_is_exact(rng):
 
 @pytest.mark.parametrize("kv,weights", [("int8", "native"),
                                         ("native", "int8"),
-                                        ("int8", "int8")])
+                                        ("int8", "int8"),
+                                        ("int4", "native")])
 def test_int8_modes_track_native_greedy(rng, kv, weights):
     """int8 KV caches / int8 streamed weights are perf knobs whose only
     deviation is int8 rounding: greedy samples must agree with the native
@@ -181,4 +182,5 @@ def test_int8_modes_track_native_greedy(rng, kv, weights):
                                     weight_dtype=weights))
     assert got.shape == base.shape and got.min() >= 0 and got.max() < m.c.nv
     agree = float((got == base).mean())
-    assert agree >= 0.90, f"greedy agreement {agree:.3f} with kv={kv}, w={weights}"
+    floor = 0.75 if kv == "int4" else 0.90  # int4 rounding is 16x coarser
+    assert agree >= floor, f"greedy agreement {agree:.3f} with kv={kv}, w={weights}"

@@ -24,7 +24,7 @@ def main():
     p.add_argument("--config", default="configs/vt/DSSVT.yaml")
     p.add_argument("--batch", type=int, default=8)
     p.add_argument("--iters", type=int, default=3)
-    p.add_argument("--kv", default="native", choices=["native", "int8"])
+    p.add_argument("--kv", default="native", choices=["native", "int8", "int4"])
     p.add_argument("--weights", default="native", choices=["native", "int8"],
                    help="stream per-pixel decoder weights as int8 "
                         "(per-column scales folded exactly)")
