@@ -116,7 +116,9 @@ def main():
         sampled = vt.sample_video(
             vt_params, video, key, n_prime=n_prime,
             kv_cache_dtype=cfg.TEST.VT_SAMPLER.KV_DTYPE,
-            kv_seg_size=cfg.TEST.VT_SAMPLER.SEG)[0]
+            kv_seg_size=cfg.TEST.VT_SAMPLER.SEG,
+            weight_dtype=getattr(cfg.TEST.VT_SAMPLER, "WEIGHT_DTYPE",
+                                 "native"))[0]
         # decode all frames
         idx = jnp.transpose(sampled, (1, 2, 3, 0))  # (T, h, w, nc)
         out = vqvae.decode(vq_params, vq_state, idx)  # (T, H, W, 3)
