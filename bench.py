@@ -27,8 +27,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 def main():
     parser = argparse.ArgumentParser()
-    parser.add_argument("--batch", type=int, default=128)  # sweet spot with
-    # int8 KV (BASELINE.md sweep: 504 fps; native saturates at 64/318)
+    # batch sweep with int8 KV + seg 16 (BASELINE.md): 128->563.6,
+    # 256->601.3, 512->604.0 fps — 256 is the throughput knee
+    parser.add_argument("--batch", type=int, default=256)
     parser.add_argument("--iters", type=int, default=5)
     parser.add_argument("--dtype", default="bfloat16", choices=["bfloat16", "float32"],
                         help="sampling weight/activation dtype (softmax/logits stay fp32)")
