@@ -41,7 +41,8 @@ def main():
                              "folding, +58%% at batch 128; greedy agreement "
                              "tested; --kv native for bit-exact caches)")
     parser.add_argument("--seg", type=int, default=16,
-                        help="KV-cache growth segment (0 = thw//4). Sweep at "
+                        help="KV-cache growth segment (0 = heuristic "
+                             "max(64, thw//4)). Sweep at "
                              "batch 128 int8: 64->543.6, 32->553.6, "
                              "16->563.6, 8->536.4 fps — the over-read past "
                              "the current pixel shrinks with seg until scan "
@@ -53,6 +54,11 @@ def main():
                              "(extrapolated to the full video; more pixels = "
                              "steadier denominator)")
     parser.add_argument("--skip-baseline", action="store_true")
+    parser.add_argument("--probe", action="store_true",
+                        help="also time one half-batch run and check that "
+                             "gen_seconds scales ~linearly (costs one extra "
+                             "compile; the physical-bound self-check always "
+                             "runs)")
     args = parser.parse_args()
 
     import jax
@@ -101,21 +107,53 @@ def main():
         out = vq.decode(vq_params, vq_state, idx)
         return jnp.clip(vq.denormalize(out), 0.0, 1.0)
 
+    def timed_run(k):
+        """One timed generation, fenced by a HOST READ of the output.
+
+        `block_until_ready()` is NOT a reliable fence through the axon
+        remote-TPU tunnel (BENCH_r02 recorded a physically impossible
+        0.012 s for a batch-256 rollout this way); pulling one element to
+        the host cannot return before the dependent computation finishes.
+        """
+        t0 = time.perf_counter()
+        out = generate(frames, k)
+        fence = float(out[0, 0, 0, 0])  # device->host read = the fence
+        dt = time.perf_counter() - t0
+        assert np.isfinite(fence), "generation produced non-finite pixels"
+        return dt
+
     # compile + warmup
     key = jax.random.key(7)
-    out = generate(frames, key)
-    out.block_until_ready()
+    timed_run(key)
 
-    times = []
-    for i in range(args.iters):
-        k = jax.random.fold_in(key, i)
-        t0 = time.perf_counter()
-        generate(frames, k).block_until_ready()
-        times.append(time.perf_counter() - t0)
-    best = min(times)
+    times = [timed_run(jax.random.fold_in(key, i)) for i in range(args.iters)]
+    times_sorted = sorted(times)
+    med = float(np.median(times))
     frames_generated = B * (T - n_prime)  # newly generated frames
-    fps = frames_generated / best
-    tokens_per_sec = B * (T - n_prime) * 16 * 16 * vt.c.nc / best
+    fps = frames_generated / med
+    tokens_per_sec = B * (T - n_prime) * 16 * 16 * vt.c.nc / med
+
+    st, sh, sw = vt.plan.slice_shape
+    seq_steps = (vt.plan.num_slices - n_prime) * (st * sh * sw) * vt.c.nc
+    err = check_plausible(med, seq_steps)
+    if err:
+        sys.stderr.write("bench.py: REFUSING to report: " + err + "\n")
+        sys.exit(1)
+
+    probe = None
+    if args.probe and B >= 2:
+        # Linearity probe: half the batch should take noticeably less than
+        # the full batch but never < ~25% of it (sampling is bandwidth-bound
+        # so sub-linear scaling is expected; super-linear or flat-zero is a
+        # broken fence).
+        probe = _probe_half_batch(args, jax, jnp, np, vt, vt_params, vq,
+                                  vq_params, vq_state, frames, n_prime, key)
+        if probe < 0.25 * med / 2:
+            sys.stderr.write(
+                "bench.py: REFUSING to report: half-batch probe %.4f s is "
+                "<25%% of half the full-batch median %.4f s — timing is not "
+                "tracking real work.\n" % (probe, med))
+            sys.exit(1)
 
     vs_baseline = None
     if not args.skip_baseline:
@@ -129,8 +167,14 @@ def main():
         "vs_baseline": round(vs_baseline, 2) if vs_baseline else None,
         "detail": {
             "batch": B,
-            "gen_seconds_best": round(best, 3),
+            "gen_seconds_median": round(med, 3),
+            "gen_seconds_min": round(times_sorted[0], 3),
+            "gen_seconds_max": round(times_sorted[-1], 3),
+            "gen_seconds_all": [round(t, 3) for t in times],
+            "fence": "host read of out[0,0,0,0] per iteration",
             "ar_tokens_per_sec": round(tokens_per_sec, 1),
+            "seq_dependent_steps": seq_steps,
+            "probe_half_batch_seconds": round(probe, 3) if probe else None,
             "dtype": args.dtype,
             "kv_cache": args.kv,
             "weights": args.weights,
@@ -140,6 +184,58 @@ def main():
         },
     }
     print(json.dumps(result))
+
+
+# No hardware finishes a sequentially dependent AR sampling step (matmul
+# chain + cache update, round-trip through HBM) in under this many seconds.
+MIN_SEC_PER_STEP = 2e-6
+
+
+def check_plausible(gen_seconds, seq_steps):
+    """Return an error string if `gen_seconds` for `seq_steps` sequentially
+    dependent AR steps is physically impossible (a broken timing fence, as
+    in BENCH_r02's 0.012 s capture), else None."""
+    if gen_seconds < seq_steps * MIN_SEC_PER_STEP:
+        return ("median gen time %.4f s implies %.2e s per sequentially "
+                "dependent AR step (< %.0e s floor over %d steps). The "
+                "timing fence did not hold; this is a measurement artifact, "
+                "not throughput." % (gen_seconds, gen_seconds / seq_steps,
+                                     MIN_SEC_PER_STEP, seq_steps))
+    return None
+
+
+def _probe_half_batch(args, jax, jnp, np, vt, vt_params, vq, vq_params,
+                      vq_state, frames, n_prime, key):
+    """Time one generation at batch B//2 (own compile), host-read fenced."""
+    import time as _t
+
+    B2 = args.batch // 2
+    frames2 = np.asarray(frames).reshape(args.batch, n_prime, 64, 64, 3)[:B2]
+    frames2 = frames2.reshape(B2 * n_prime, 64, 64, 3)
+
+    @jax.jit
+    def generate2(frames, k):
+        x = vq.normalize(frames)
+        codes = vq.encode(vq_params, vq_state, x)
+        codes = codes.reshape(B2, n_prime, 16, 16, vt.c.nc)
+        codes = jnp.transpose(codes, (0, 4, 1, 2, 3))
+        video = jnp.zeros((B2, vt.c.nc, 16, 16, 16), jnp.int32)
+        video = video.at[:, :, :n_prime].set(codes)
+        sampled = vt.sample_video(vt_params, video, k, n_prime=n_prime,
+                                  incremental=not args.full_recompute,
+                                  kv_cache_dtype=args.kv,
+                                  kv_seg_size=args.seg,
+                                  weight_dtype=args.weights)
+        idx = jnp.transpose(sampled, (0, 2, 3, 4, 1)).reshape(
+            B2 * 16, 16, 16, vt.c.nc)
+        out = vq.decode(vq_params, vq_state, idx)
+        return jnp.clip(vq.denormalize(out), 0.0, 1.0)
+
+    k = jax.random.fold_in(key, 10_001)
+    float(generate2(frames2, k)[0, 0, 0, 0])  # compile + warmup
+    t0 = _t.perf_counter()
+    float(generate2(frames2, jax.random.fold_in(key, 10_002))[0, 0, 0, 0])
+    return _t.perf_counter() - t0
 
 
 def _reference_style_baseline(jax, jnp, np, vt, vt_params, n_pixels, B,
@@ -180,7 +276,8 @@ def _reference_style_baseline(jax, jnp, np, vt, vt_params, n_pixels, B,
     t0 = _t.perf_counter()
     for p in range(n_pixels):
         out = one_pixel_j(sl, zl, p, jax.random.fold_in(key, p))
-        out.block_until_ready()
+        int(out[0, 0])  # host read: reliable fence (and faithful to the
+        # reference's per-pixel host-dispatch execution model)
     per_pixel = (_t.perf_counter() - t0) / n_pixels
 
     # full video: S_sampled slices x thw pixels (prime slices skipped)

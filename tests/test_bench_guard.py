@@ -1,0 +1,35 @@
+"""bench.py's anti-artifact self-check (VERDICT r2 #1: BENCH_r02 recorded a
+physically impossible 241k fps because block_until_ready did not fence
+through the axon tunnel; bench.py now host-read-fences and refuses to print
+implausible numbers)."""
+import importlib.util
+import os
+
+import pytest
+
+_spec = importlib.util.spec_from_file_location(
+    "bench", os.path.join(os.path.dirname(__file__), "..", "bench.py"))
+bench = importlib.util.module_from_spec(_spec)
+_spec.loader.exec_module(bench)
+
+# DSFVT: 11 sampled slices x 256 pixels x 4 channel substeps
+DSFVT_SEQ_STEPS = 11 * 256 * 4
+
+
+def test_rejects_broken_fence_capture():
+    # BENCH_r02's actual capture: 0.012 s for 45056 dependent steps
+    err = bench.check_plausible(0.012, DSFVT_SEQ_STEPS)
+    assert err is not None and "fence" in err
+
+
+def test_accepts_honest_capture():
+    # round-2's honest driver-style run: ~6.8 s (601-624 fps at batch 256)
+    assert bench.check_plausible(6.8, DSFVT_SEQ_STEPS) is None
+    # round-1 capture: 1.229 s at batch 32
+    assert bench.check_plausible(1.229, DSFVT_SEQ_STEPS) is None
+
+
+def test_threshold_is_exactly_the_floor():
+    floor = DSFVT_SEQ_STEPS * bench.MIN_SEC_PER_STEP
+    assert bench.check_plausible(floor * 0.99, DSFVT_SEQ_STEPS) is not None
+    assert bench.check_plausible(floor * 1.01, DSFVT_SEQ_STEPS) is None

@@ -68,13 +68,15 @@ def main():
         out = fn(video, jax.random.fold_in(key, i))
         _ = int(np.asarray(out[0, 0, -1, 0, 0]))  # host read = hard fence
         times.append(time.perf_counter() - t0)
-    best = min(times)
-    fps = B * (T - n_prime) / best
+    med = float(np.median(times))
+    fps = B * (T - n_prime) / med
     print(json.dumps({
         "config": os.path.basename(args.config),
         "batch": B, "kv": args.kv, "seg": args.seg,
         "n_prime": n_prime,
-        "seconds_best": round(best, 3),
+        "seconds_median": round(med, 3),
+        "seconds_min": round(min(times), 3),
+        "seconds_max": round(max(times), 3),
         "frames_per_sec_per_chip": round(fps, 1),
     }))
 
