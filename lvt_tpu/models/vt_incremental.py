@@ -100,18 +100,6 @@ def posenc_rows(slice_shape: Tuple[int, int, int], d: int) -> np.ndarray:
     return sig.reshape(-1, d)
 
 
-def layer_logit_bias(p: BlockAttnParams, slice_shape, block) -> jnp.ndarray:
-    """(na, thw, thw) additive attention-logit bias: the decomposed relative
-    bias within blocks, -1e9 across blocks (cross-block positions get zero
-    weight, reproducing block-local attention exactly)."""
-    bid, rel = block_structure(tuple(slice_shape), tuple(block))
-    B = relative_bias(p.dt_bank, p.dh_bank, p.dw_bank, tuple(block))  # (na, n_b, n_b)
-    rel_j = jnp.asarray(rel)
-    full = B[:, rel_j][:, :, rel_j]  # (na, thw, thw)
-    same = jnp.asarray(bid)[:, None] == jnp.asarray(bid)[None, :]
-    return jnp.where(same[None], full, jnp.float32(-1e9))
-
-
 # --------------------------------------------------------------------------
 # Incremental rollout
 # --------------------------------------------------------------------------
@@ -198,10 +186,21 @@ def sample_slice_incremental(params, c: VTConfig, slice_shape, zl, sl, key,
         "use sample_video(incremental=False) for heterogeneous stacks")
     cdtype = dec["conv_w"].dtype  # follows the (possibly bf16) param dtype
     zlproj = (zl @ dec["projector"]).reshape(b, thw, c.d)
-    biasmasks = jnp.stack([
-        layer_logit_bias(lp, (t, h, w), blk).astype(jnp.float32)
-        for lp, blk in zip(dec["layers"], c.blocks_d)
-    ])  # (L, na, thw, thw)
+    # Bias banks kept FACTORED: materializing the (L, na, thw, thw) fp32
+    # bias+mask tensor costs 268 MB for DSSVT (8 layers, 8 heads, thw=1024)
+    # — the HBM that capped sampling batch at 256 (BASELINE.md r2). Row p is
+    # reconstructed per pixel from the (na, n_b, n_b) block-relative bias +
+    # block_structure tables — same float values, ~na*cl fp32 of reads per
+    # layer-pixel. (Reference semantics: vt_attention.py:142-174 builds the
+    # bias from per-dim banks at full resolution; block-local masking zeroes
+    # cross-block weight.)
+    bias_tabs = []
+    for lp, blk in zip(dec["layers"], c.blocks_d):
+        bid_np, rel_np = block_structure((t, h, w), tuple(blk))
+        Bl = relative_bias(lp.dt_bank, lp.dh_bank, lp.dw_bank,
+                           tuple(blk)).astype(jnp.float32)  # (na, n_b, n_b)
+        bias_tabs.append((Bl, jnp.asarray(rel_np), jnp.asarray(bid_np),
+                          rel_np, bid_np))
     pos_rows = pos_rows.astype(cdtype)
     pos_iota = jnp.arange(thw)
     # fused per-layer QKV: one (d, 3*na*da) matmul per layer instead of three
@@ -270,7 +269,16 @@ def sample_slice_incremental(params, c: VTConfig, slice_shape, zl, sl, key,
                                 preferred_element_type=jnp.float32) / np.sqrt(da)
             if use_int8:
                 logits = logits * new_ks[l].astype(jnp.float32)
-            logits = logits + biasmasks[l, :, p, :cache_len][None]  # (b, na, cl)
+            # bias row p, rebuilt from the factored tables (see above):
+            # value = Bl[a, rel[p], rel[j]] within p's block, -1e9 across —
+            # bit-identical to the old materialized biasmasks[l, :, p, :cl]
+            Bl, rel_j, bid_j, rel_np_l, bid_np_l = bias_tabs[l]
+            Bp = jnp.take(Bl, rel_j[p], axis=1)  # (na, n_b) dynamic slice
+            row = Bp[:, rel_np_l[:cache_len]]  # constant-index gather (na, cl)
+            row = jnp.where(
+                jnp.asarray(bid_np_l[:cache_len]) == bid_j[p], row,
+                jnp.float32(-1e9))
+            logits = logits + row[None]  # (b, na, cl)
             logits = jnp.where(pos_iota[None, None, :cache_len] > p,
                                jnp.float32(-1e9), logits)
             wgt = jax.nn.softmax(logits, axis=-1).astype(cdtype)
