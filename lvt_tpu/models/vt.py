@@ -338,8 +338,12 @@ class VideoTransformer:
         self.ignore_index = cfg.MODEL.IGNORE_INDEX
         self.use_pallas: Optional[bool] = None
         # False | True (full remat) | "dots" (policy, see TPU.REMAT_POLICY)
-        self.remat = ((getattr(cfg.TPU, "REMAT_POLICY", "") or True)
-                      if cfg.TPU.REMAT else False)
+        policy = getattr(cfg.TPU, "REMAT_POLICY", "")
+        if policy not in ("", "dots"):
+            raise ValueError(
+                f"TPU.REMAT_POLICY must be '' (full remat) or 'dots', "
+                f"got {policy!r}")
+        self.remat = (policy or True) if cfg.TPU.REMAT else False
 
     def _plan_for(self, T: int, H: int, W: int):
         """Subscale gather plan for one latent geometry. Params are
@@ -410,16 +414,20 @@ class VideoTransformer:
             lo = 0
         return jax.random.randint(key, (batch,), lo, st * sh * sw, jnp.int32)
 
-    def loss(self, params, batch, rng, *, axis_name=None):
+    def loss(self, params, batch, rng, *, axis_name=None, slice_idx=None):
         """CE over one random slice per video (reference
         compute_supervised_loss, vt.py:301-314 + mapper slice prep).
 
         batch: {"video": (b, nc, T, H, W) int32, optional "class": (b,)}.
+        slice_idx: optional fixed (b,) slice indices — bypasses the random
+        draw for deterministic parity tests (the rest of the composed path,
+        on-device slice prep -> logits -> masked CE, is unchanged).
         """
         video = batch["video"]
         b = video.shape[0]
-        k_idx, _ = jax.random.split(rng)
-        slice_idx = self.sample_train_slice_idx(k_idx, b, T=video.shape[2])
+        if slice_idx is None:
+            k_idx, _ = jax.random.split(rng)
+            slice_idx = self.sample_train_slice_idx(k_idx, b, T=video.shape[2])
         ctx, slice_codes, ignore = self.prepare_slices(video, slice_idx)
         class_idx = batch.get("class") if self.c.class_num > 0 else None
 

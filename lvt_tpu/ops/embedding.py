@@ -58,6 +58,9 @@ _take_rows.defvjp(_take_rows_fwd, _take_rows_bwd)
 def take_rows(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     """``table[idx]`` (gather rows of a (V, de) table by integer index array)
     whose backward is a one-hot matmul instead of XLA's serialized
-    colliding scatter-add. Exact same values both ways."""
+    colliding scatter-add. Exact same values both ways for IN-RANGE indices
+    (0 <= idx < V, the only case that occurs: all callers pass code/channel
+    ids). Out-of-range indices differ at the edge: jnp.take's clip-mode VJP
+    credits the clamped row, the one-hot backward gives zero gradient."""
     assert table.ndim == 2, table.shape
     return _take_rows(table, idx, table.shape[0])

@@ -211,3 +211,7 @@ def test_remat_flag_preserves_loss_and_grads(rng):
         for a, b in zip(jax.tree_util.tree_leaves(g0),
                         jax.tree_util.tree_leaves(g1)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+    # a typo'd policy must error, not silently degrade to full remat
+    with pytest.raises(ValueError, match="REMAT_POLICY"):
+        build(True, "dot")
