@@ -102,16 +102,32 @@ def build_lr_schedule(cfg) -> Callable:
     raise ValueError(f"Unknown LR scheduler: {name}")
 
 
+def _trailing_name(path) -> str:
+    """Last dict/attr key of a leaf path, skipping list indices — the
+    predictor's U_b/P_b biases are Python lists, so their leaves end in a
+    SequenceKey (reference grouping keys on the torch param NAME 'bias',
+    solver/build.py:39-40, which list indices must not mask)."""
+    for p in reversed(path):
+        name = getattr(p, "key", getattr(p, "name", None))
+        if isinstance(name, str):
+            return name
+    return ""
+
+
 def _is_bias_path(path) -> bool:
-    names = [getattr(p, "key", getattr(p, "name", getattr(p, "idx", ""))) for p in path]
-    last = str(names[-1]) if names else ""
-    return last in ("b", "bias", "ctx_bias", "conv_b", "ln_bias", "ffn_ln_bias",
-                    "ffn_b1", "ffn_b2", "P_b", "U_b")
+    return _trailing_name(path) in (
+        "b", "bias", "ctx_bias", "conv_b", "ln_bias", "ffn_ln_bias",
+        "ffn_b1", "ffn_b2", "P_b", "U_b")
 
 
 def _is_norm_path(path) -> bool:
-    names = [str(getattr(p, "key", "")) for p in path]
-    return any(n in ("ln_scale", "ln_bias", "ffn_ln_scale", "ffn_ln_bias", "scale") for n in names)
+    # GetAttrKey (NamedTuple fields like BlockAttnParams.ln_scale) exposes
+    # `.name`, DictKey `.key` — reading only `.key` silently dropped every
+    # in-layer norm param into the base/bias decay groups (caught by
+    # tests/test_trajectory_parity.py against torch's module-based grouping)
+    names = [getattr(p, "key", getattr(p, "name", None)) for p in path]
+    return any(n in ("ln_scale", "ln_bias", "ffn_ln_scale", "ffn_ln_bias",
+                     "scale") for n in names if isinstance(n, str))
 
 
 def build_optimizer(cfg, suffix: str = "_G") -> optax.GradientTransformation:

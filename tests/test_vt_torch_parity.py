@@ -57,7 +57,10 @@ def _make_torch_state(rng, c: VTConfig, S):
 
 
 def _t(sd, k):
-    return torch.from_numpy(sd[k])
+    v = sd[k]
+    # pass tensors through so the oracle is differentiable when fed a
+    # requires_grad state dict (trajectory parity, test_trajectory_parity.py)
+    return v if torch.is_tensor(v) else torch.from_numpy(v)
 
 
 def _torch_posenc(x, d):
@@ -118,7 +121,12 @@ def _torch_attn_layer(sd, pfx, i, x, blk, na, da, masked):
 
 
 def _torch_vt_logits(sd, c: VTConfig, ctx, sl, slice_idx):
-    """Teacher-forced logits with torch ops from the torch-layout state dict.
+    return _torch_vt_logits_t(sd, c, ctx, sl, slice_idx).detach().numpy()
+
+
+def _torch_vt_logits_t(sd, c: VTConfig, ctx, sl, slice_idx):
+    """Teacher-forced logits with torch ops from the torch-layout state dict
+    (differentiable: returns the tensor).
     ctx: (b, nc, T', H', W') int (pad=-1); sl: (b, nc, t, h, w) int."""
     b = ctx.shape[0]
     ctxt = torch.from_numpy(ctx)
@@ -161,7 +169,7 @@ def _torch_vt_logits(sd, c: VTConfig, ctx, sl, slice_idx):
         u = feats @ _t(sd, f"ch_predictor.U.{k}.weight").T + _t(sd, f"ch_predictor.U.{k}.bias")
         o = torch.relu(u) @ _t(sd, f"ch_predictor.P.{k}.weight").T + _t(sd, f"ch_predictor.P.{k}.bias")
         outs.append(o)
-    return torch.stack(outs, dim=2).reshape(bq, t, h, w, c.nc, c.nv).numpy()
+    return torch.stack(outs, dim=2).reshape(bq, t, h, w, c.nc, c.nv)
 
 
 def test_full_vt_logits_match_torch_oracle(rng):
