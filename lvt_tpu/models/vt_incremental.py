@@ -186,21 +186,31 @@ def sample_slice_incremental(params, c: VTConfig, slice_shape, zl, sl, key,
         "use sample_video(incremental=False) for heterogeneous stacks")
     cdtype = dec["conv_w"].dtype  # follows the (possibly bf16) param dtype
     zlproj = (zl @ dec["projector"]).reshape(b, thw, c.d)
-    # Bias banks kept FACTORED: materializing the (L, na, thw, thw) fp32
-    # bias+mask tensor costs 268 MB for DSSVT (8 layers, 8 heads, thw=1024)
-    # — the HBM that capped sampling batch at 256 (BASELINE.md r2). Row p is
-    # reconstructed per pixel from the (na, n_b, n_b) block-relative bias +
-    # block_structure tables — same float values, ~na*cl fp32 of reads per
-    # layer-pixel. (Reference semantics: vt_attention.py:142-174 builds the
-    # bias from per-dim banks at full resolution; block-local masking zeroes
-    # cross-block weight.)
+    # Bias handling is adaptive (same float values either way):
+    # * blocks smaller than the slice (DSSVT: n_b=256 vs thw=1024) -> keep
+    #   the per-layer (na, n_b, n_b) block-relative tables FACTORED and
+    #   rebuild row p per pixel from block_structure. Materializing the full
+    #   (L, na, thw, thw) fp32 bias+mask costs 268 MB for DSSVT — the HBM
+    #   that capped sampling batch at 256 (BASELINE.md r2).
+    # * block == slice (DSFVT/DSTSVT: n_b == thw, every position in one
+    #   block) -> materialize (na, thw, thw) per layer: identical memory to
+    #   the factored table, and row p is a single dynamic slice per pixel.
+    # (Reference semantics: vt_attention.py:142-174 builds the bias from
+    # per-dim banks; block-local masking zeroes cross-block weight.)
     bias_tabs = []
     for lp, blk in zip(dec["layers"], c.blocks_d):
         bid_np, rel_np = block_structure((t, h, w), tuple(blk))
         Bl = relative_bias(lp.dt_bank, lp.dh_bank, lp.dw_bank,
                            tuple(blk)).astype(jnp.float32)  # (na, n_b, n_b)
-        bias_tabs.append((Bl, jnp.asarray(rel_np), jnp.asarray(bid_np),
-                          rel_np, bid_np))
+        n_b = Bl.shape[1]
+        if n_b == thw:
+            # one block: rel is a permutation, bid constant -> full table
+            rel_j = jnp.asarray(rel_np)
+            full = Bl[:, rel_j][:, :, rel_j]  # (na, thw, thw)
+            bias_tabs.append((full, None, None, None, None))
+        else:
+            bias_tabs.append((Bl, jnp.asarray(rel_np), jnp.asarray(bid_np),
+                              rel_np, bid_np))
     pos_rows = pos_rows.astype(cdtype)
     pos_iota = jnp.arange(thw)
     # fused per-layer QKV: one (d, 3*na*da) matmul per layer instead of three
@@ -269,15 +279,19 @@ def sample_slice_incremental(params, c: VTConfig, slice_shape, zl, sl, key,
                                 preferred_element_type=jnp.float32) / np.sqrt(da)
             if use_int8:
                 logits = logits * new_ks[l].astype(jnp.float32)
-            # bias row p, rebuilt from the factored tables (see above):
-            # value = Bl[a, rel[p], rel[j]] within p's block, -1e9 across —
-            # bit-identical to the old materialized biasmasks[l, :, p, :cl]
+            # bias row p (see bias_tabs above): full-table dynamic slice
+            # when the block spans the slice, else rebuilt from the factored
+            # tables — value = Bl[a, rel[p], rel[j]] within p's block,
+            # -1e9 across; identical floats either way
             Bl, rel_j, bid_j, rel_np_l, bid_np_l = bias_tabs[l]
-            Bp = jnp.take(Bl, rel_j[p], axis=1)  # (na, n_b) dynamic slice
-            row = Bp[:, rel_np_l[:cache_len]]  # constant-index gather (na, cl)
-            row = jnp.where(
-                jnp.asarray(bid_np_l[:cache_len]) == bid_j[p], row,
-                jnp.float32(-1e9))
+            if rel_j is None:
+                row = jnp.take(Bl, p, axis=1)[:, :cache_len]  # (na, cl)
+            else:
+                Bp = jnp.take(Bl, rel_j[p], axis=1)  # (na, n_b) dyn. slice
+                row = Bp[:, rel_np_l[:cache_len]]  # const-index gather
+                row = jnp.where(
+                    jnp.asarray(bid_np_l[:cache_len]) == bid_j[p], row,
+                    jnp.float32(-1e9))
             logits = logits + row[None]  # (b, na, cl)
             logits = jnp.where(pos_iota[None, None, :cache_len] > p,
                                jnp.float32(-1e9), logits)
