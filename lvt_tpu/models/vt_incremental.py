@@ -186,25 +186,44 @@ def sample_slice_incremental(params, c: VTConfig, slice_shape, zl, sl, key,
         "use sample_video(incremental=False) for heterogeneous stacks")
     cdtype = dec["conv_w"].dtype  # follows the (possibly bf16) param dtype
     zlproj = (zl @ dec["projector"]).reshape(b, thw, c.d)
-    # Bias handling is adaptive (same float values either way):
-    # * blocks smaller than the slice (DSSVT: n_b=256 vs thw=1024) -> keep
-    #   the per-layer (na, n_b, n_b) block-relative tables FACTORED and
-    #   rebuild row p per pixel from block_structure. Materializing the full
-    #   (L, na, thw, thw) fp32 bias+mask costs 268 MB for DSSVT — the HBM
-    #   that capped sampling batch at 256 (BASELINE.md r2).
-    # * block == slice (DSFVT/DSTSVT: n_b == thw, every position in one
-    #   block) -> materialize (na, thw, thw) per layer: identical memory to
-    #   the factored table, and row p is a single dynamic slice per pixel.
-    # (Reference semantics: vt_attention.py:142-174 builds the bias from
-    # per-dim banks; block-local masking zeroes cross-block weight.)
+    # Block-local cache mode: when every decoder layer shares one block
+    # size whose h/w span the slice (all shipped configs — DSSVT (4,8,8) on
+    # (16,8,8) slices; DSFVT/DSTSVT block == slice), raster order visits
+    # attention blocks as contiguous runs of blk_run = bt*h*w pixels, and
+    # cross-block attention weight is EXACTLY zero (the -1e9 logit's exp
+    # underflows to 0.0, so masked rows add exact zeros to the softmax).
+    # The K/V caches therefore only ever need blk_run rows: cache position
+    # = p mod blk_run; rows left over from the previous block sit strictly
+    # above the causal mask and are never read. For DSSVT this cuts cache
+    # memory AND the dominant per-pixel cache reads 4x (1024 -> 256 rows).
+    # (Reference semantics anchor: vt_attention.py:142-174 — block-local
+    # attention zeroes cross-block weight.)
+    blocks = [tuple(b) for b in c.blocks_d]
+    bt0, bh0, bw0 = blocks[0]
+    block_local = (len(set(blocks)) == 1 and bh0 == h and bw0 == w
+                   and t % bt0 == 0)
+    blk_run = bt0 * h * w if block_local else thw
+
+    # Bias handling (same float values on every path):
+    # * block-local runs: within a run, the block-relative index rid(p)
+    #   equals p mod blk_run, so the (na, blk_run, blk_run) bank table is
+    #   used directly — one dynamic row slice per pixel, no -1e9 branch.
+    # * non-uniform stacks with a slice-wide layer: materialize the
+    #   (na, thw, thw) permuted table (identical memory to factored).
+    # * other non-uniform blocks: keep the FACTORED (na, n_b, n_b) tables
+    #   and rebuild row p from block_structure (the 268 MB-saving path that
+    #   un-capped DSSVT's batch in round 3 before block-local caches
+    #   removed the need for slice-length rows entirely).
     bias_tabs = []
     for lp, blk in zip(dec["layers"], c.blocks_d):
         bid_np, rel_np = block_structure((t, h, w), tuple(blk))
         Bl = relative_bias(lp.dt_bank, lp.dh_bank, lp.dw_bank,
                            tuple(blk)).astype(jnp.float32)  # (na, n_b, n_b)
         n_b = Bl.shape[1]
-        if n_b == thw:
-            # one block: rel is a permutation, bid constant -> full table
+        if block_local:
+            bias_tabs.append((Bl, None, None, None, None))
+        elif n_b == thw:
+            # one slice-wide block: rel is a permutation, bid constant
             rel_j = jnp.asarray(rel_np)
             full = Bl[:, rel_j][:, :, rel_j]  # (na, thw, thw)
             bias_tabs.append((full, None, None, None, None))
@@ -239,10 +258,12 @@ def sample_slice_incremental(params, c: VTConfig, slice_shape, zl, sl, key,
         return y @ w
 
     def pixel_step(carry: SliceCarry, p):
-        """One raster position. The K/V caches in `carry` may be shorter than
-        thw (segmented growth below) — position p only ever attends to
-        positions < cache_len, which is exact because p < cache_len always."""
+        """One raster position. The K/V caches in `carry` hold at most
+        blk_run rows (segmented growth below); position p reads and writes
+        cache row p_loc = p mod blk_run — exact because p only attends
+        within its contiguous attention block (see block-local notes)."""
         cache_len = carry.kcaches.shape[3]
+        p_loc = jax.lax.rem(p, jnp.int32(blk_run)) if block_local else p
         # causal conv at p: gather unmasked-tap neighbors (all strictly < p)
         rows = carry.emb[:, nbr[p]]  # (b, K', de); nbr -1 wraps to last row
         valid = (nbr[p] >= 0).astype(rows.dtype)[None, :, None]
@@ -268,10 +289,10 @@ def sample_slice_incremental(params, c: VTConfig, slice_shape, zl, sl, key,
                               -qmax, qmax).astype(kv_store)
                 vv = jnp.clip(jnp.round(vv / (sv[..., None] + 1e-8)),
                               -qmax, qmax).astype(kv_store)
-                new_ks = new_ks.at[l, :, :, p].set(sk)
-                new_vs = new_vs.at[l, :, :, p].set(sv)
-            new_k = new_k.at[l, :, :, p].set(kk)
-            new_v = new_v.at[l, :, :, p].set(vv)
+                new_ks = new_ks.at[l, :, :, p_loc].set(sk)
+                new_vs = new_vs.at[l, :, :, p_loc].set(sv)
+            new_k = new_k.at[l, :, :, p_loc].set(kk)
+            new_v = new_v.at[l, :, :, p_loc].set(vv)
             kc = new_k[l]
             vc = new_v[l]
 
@@ -279,13 +300,13 @@ def sample_slice_incremental(params, c: VTConfig, slice_shape, zl, sl, key,
                                 preferred_element_type=jnp.float32) / np.sqrt(da)
             if use_int8:
                 logits = logits * new_ks[l].astype(jnp.float32)
-            # bias row p (see bias_tabs above): full-table dynamic slice
-            # when the block spans the slice, else rebuilt from the factored
-            # tables — value = Bl[a, rel[p], rel[j]] within p's block,
-            # -1e9 across; identical floats either way
+            # bias row p (see bias_tabs above): direct table row in
+            # block-local / slice-wide mode (p_loc == rid(p)), else rebuilt
+            # from the factored tables — value = Bl[a, rel[p], rel[j]]
+            # within p's block, -1e9 across; identical floats either way
             Bl, rel_j, bid_j, rel_np_l, bid_np_l = bias_tabs[l]
             if rel_j is None:
-                row = jnp.take(Bl, p, axis=1)[:, :cache_len]  # (na, cl)
+                row = jnp.take(Bl, p_loc, axis=1)[:, :cache_len]  # (na, cl)
             else:
                 Bp = jnp.take(Bl, rel_j[p], axis=1)  # (na, n_b) dyn. slice
                 row = Bp[:, rel_np_l[:cache_len]]  # const-index gather
@@ -293,7 +314,7 @@ def sample_slice_incremental(params, c: VTConfig, slice_shape, zl, sl, key,
                     jnp.asarray(bid_np_l[:cache_len]) == bid_j[p], row,
                     jnp.float32(-1e9))
             logits = logits + row[None]  # (b, na, cl)
-            logits = jnp.where(pos_iota[None, None, :cache_len] > p,
+            logits = jnp.where(pos_iota[None, None, :cache_len] > p_loc,
                                jnp.float32(-1e9), logits)
             wgt = jax.nn.softmax(logits, axis=-1).astype(cdtype)
             if use_int8:
@@ -320,15 +341,18 @@ def sample_slice_incremental(params, c: VTConfig, slice_shape, zl, sl, key,
     sl_flat = sl.reshape(b, nc, thw)
     emb0 = _embed_sum_codes(dec, c, jnp.moveaxis(sl_flat, 1, -1))  # (b, thw, de)
 
-    # Segmented cache growth: pixels [0, s1) only ever attend to the first s1
-    # positions, so early segments run with short K/V buffers — the cache
-    # reads dominate HBM traffic at large batch, and the triangular prefix
-    # cuts them ~1.6x. Segment boundaries are static; each segment is its own
-    # scan over a fixed-size carry.
-    seg = seg_size if seg_size > 0 else max(64, thw // 4)
-    bounds = list(range(seg, thw + 1, seg)) or [thw]
-    if bounds[-1] != thw:
-        bounds.append(thw)
+    # Segmented cache growth WITHIN each block run: pixels [base, base+s1)
+    # only ever attend to the first s1 rows of the run, so early segments
+    # run with short K/V buffers — the cache reads dominate HBM traffic at
+    # large batch, and the triangular prefix cuts them ~1.6x. Segment
+    # boundaries are static; each segment is its own scan over a fixed-size
+    # carry. At a new block run the buffers shrink back to the first
+    # segment length (stale rows are masked, values never read).
+    seg = seg_size if seg_size > 0 else max(64, blk_run // 4)
+    seg = min(seg, blk_run)
+    bounds = list(range(seg, blk_run + 1, seg)) or [blk_run]
+    if bounds[-1] != blk_run:
+        bounds.append(blk_run)
 
     kv_store = {"int8": jnp.int8, "int4": jnp.int4}.get(kv_dtype, cdtype)
     scale_len0 = bounds[0] if use_int8 else 1
@@ -341,21 +365,31 @@ def sample_slice_incremental(params, c: VTConfig, slice_shape, zl, sl, key,
         vscales=jnp.zeros((L, b, na, scale_len0), cdtype),
         key=key,
     )
-    start = 0
-    for end in bounds:
-        grow = end - carry.kcaches.shape[3]
-        if grow > 0:
-            pad = jnp.zeros((L, b, na, grow, da), kv_store)
+    for base in range(0, thw, blk_run):
+        if base > 0:
+            # new block run: shrink buffers to the first segment length
             carry = carry._replace(
-                kcaches=jnp.concatenate([carry.kcaches, pad], axis=3),
-                vcaches=jnp.concatenate([carry.vcaches, pad], axis=3),
+                kcaches=carry.kcaches[:, :, :, :bounds[0]],
+                vcaches=carry.vcaches[:, :, :, :bounds[0]],
+                kscales=carry.kscales[:, :, :, :scale_len0],
+                vscales=carry.vscales[:, :, :, :scale_len0],
             )
-            if use_int8:
-                spad = jnp.zeros((L, b, na, grow), cdtype)
+        start = 0
+        for end in bounds:
+            grow = end - carry.kcaches.shape[3]
+            if grow > 0:
+                pad = jnp.zeros((L, b, na, grow, da), kv_store)
                 carry = carry._replace(
-                    kscales=jnp.concatenate([carry.kscales, spad], axis=3),
-                    vscales=jnp.concatenate([carry.vscales, spad], axis=3),
+                    kcaches=jnp.concatenate([carry.kcaches, pad], axis=3),
+                    vcaches=jnp.concatenate([carry.vcaches, pad], axis=3),
                 )
-        carry, _ = jax.lax.scan(pixel_step, carry, jnp.arange(start, end))
-        start = end
+                if use_int8:
+                    spad = jnp.zeros((L, b, na, grow), cdtype)
+                    carry = carry._replace(
+                        kscales=jnp.concatenate([carry.kscales, spad], axis=3),
+                        vscales=jnp.concatenate([carry.vscales, spad], axis=3),
+                    )
+            carry, _ = jax.lax.scan(pixel_step, carry,
+                                    jnp.arange(base + start, base + end))
+            start = end
     return carry.sl.reshape(b, nc, t, h, w), carry.key

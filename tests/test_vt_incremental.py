@@ -37,6 +37,9 @@ CASES = [
     ((1, 2, 2), (1, 3, 3), ((2, 2, 2),) * 2, (4, 4, 4)),
     # DSTSVT-like
     ((2, 2, 2), (3, 3, 3), ((2, 2, 2),) * 2, (4, 4, 4)),
+    # sub-spatial blocks (bh < h): blocks are NOT contiguous raster runs,
+    # exercising the factored-bias fallback instead of block-local caches
+    ((4, 1, 1), (3, 1, 1), ((1, 2, 2),) * 2, (4, 4, 4)),
 ]
 
 
