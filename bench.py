@@ -42,7 +42,7 @@ def main():
                              "tested; --kv native for bit-exact caches)")
     parser.add_argument("--seg", type=int, default=16,
                         help="KV-cache growth segment (0 = heuristic "
-                             "max(64, thw//4)). Sweep at "
+                             "max(64, block_run//4)). Sweep at "
                              "batch 128 int8: 64->543.6, 32->553.6, "
                              "16->563.6, 8->536.4 fps — the over-read past "
                              "the current pixel shrinks with seg until scan "

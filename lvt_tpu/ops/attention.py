@@ -24,6 +24,7 @@ from typing import NamedTuple, Optional, Tuple
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.ad_checkpoint import checkpoint_name
 
 
 # --------------------------------------------------------------------------
@@ -140,9 +141,13 @@ def attention_core_pallas(q, k, v, bias, mask: Optional[np.ndarray], *, interpre
         else:
             q_ref, k_ref, v_ref, b_ref, o_ref = refs
         for a in range(na):  # static unroll over heads
-            qa = q_ref[0, a].astype(jnp.float32)  # (n, da)
-            ka = k_ref[0, a].astype(jnp.float32)
-            va = v_ref[0, a].astype(jnp.float32)
+            # dots run in the INPUT dtype with fp32 accumulation: bf16
+            # inputs hit the MXU at full rate (fp32 operands run at 1/4);
+            # bf16 x bf16 products are exact in the fp32 accumulator, so
+            # QK^T is bit-identical to upcasting first
+            qa = q_ref[0, a]  # (n, da)
+            ka = k_ref[0, a]
+            va = v_ref[0, a]
             attn = jax.lax.dot_general(
                 qa, ka, dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
@@ -151,8 +156,10 @@ def attention_core_pallas(q, k, v, bias, mask: Optional[np.ndarray], *, interpre
             if mask_arr is not None:
                 attn = jnp.where(m_ref[0], jnp.float32(-1e4), attn)
             attn = jax.nn.softmax(attn, axis=-1)
+            # PV in the value dtype (softmax weights rounded to it — the
+            # same precision the KV-cached sampler uses for this product)
             o_ref[0, a] = jnp.dot(
-                attn, va, preferred_element_type=jnp.float32
+                attn.astype(va.dtype), va, preferred_element_type=jnp.float32
             ).astype(o_ref.dtype)
 
     in_specs = [
@@ -204,10 +211,13 @@ def attention_core_pallas_bwd(q, k, v, bias, g, mask: Optional[np.ndarray],
             db_ref[...] = jnp.zeros_like(db_ref)
 
         for a in range(na):  # static unroll over heads (matches the forward)
-            qa = q_ref[0, a].astype(jnp.float32)  # (n, da)
-            ka = k_ref[0, a].astype(jnp.float32)
-            va = v_ref[0, a].astype(jnp.float32)
-            ga = g_ref[0, a].astype(jnp.float32)
+            # input-dtype operands, fp32 accumulation (see forward kernel):
+            # bf16 runs the MXU at full rate; softmax/ds stay fp32
+            qa = q_ref[0, a]  # (n, da)
+            ka = k_ref[0, a]
+            va = v_ref[0, a]
+            ga = g_ref[0, a]
+            io_dt = qa.dtype
 
             s = jax.lax.dot_general(
                 qa, ka, dimension_numbers=(((1,), (1,)), ((), ())),
@@ -215,21 +225,23 @@ def attention_core_pallas_bwd(q, k, v, bias, g, mask: Optional[np.ndarray],
             s = s + b_ref[a].astype(jnp.float32)
             if mask_arr is not None:
                 s = jnp.where(m_ref[0], jnp.float32(-1e4), s)
-            p = jax.nn.softmax(s, axis=-1)  # (n, n)
+            p = jax.nn.softmax(s, axis=-1)  # (n, n) fp32
 
+            p_io = p.astype(io_dt)
             dv = jax.lax.dot_general(  # p^T @ g
-                p, ga, dimension_numbers=(((0,), (0,)), ((), ())),
+                p_io, ga, dimension_numbers=(((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
             dp = jax.lax.dot_general(  # g @ v^T
                 ga, va, dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32)
-            ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))  # (n, n)
+            ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))  # fp32
             if mask_arr is not None:
                 ds = jnp.where(m_ref[0], jnp.float32(0.0), ds)
 
-            dq = jnp.dot(ds, ka, preferred_element_type=jnp.float32) * scale
+            ds_io = ds.astype(io_dt)
+            dq = jnp.dot(ds_io, ka, preferred_element_type=jnp.float32) * scale
             dk = jax.lax.dot_general(  # ds^T @ q
-                ds, qa, dimension_numbers=(((0,), (0,)), ((), ())),
+                ds_io, qa, dimension_numbers=(((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32) * scale
 
             dq_ref[0, a] = dq.astype(dq_ref.dtype)
@@ -392,9 +404,13 @@ def mha_tokens(x: jnp.ndarray, p: BlockAttnParams, bias: jnp.ndarray,
     # concat re-materializes 3 weight banks per iteration, costing more HBM
     # traffic than the fused matmul saves. (The sampler fuses QKV because
     # its weights are concatenated ONCE outside the pixel scan.)
-    q = jnp.einsum("bnd,adk->bank", y, p.wq)
-    k = jnp.einsum("bnd,adk->bank", y, p.wk)
-    v = jnp.einsum("bnd,adk->bank", y, p.wv)
+    # checkpoint_name: identity normally; under TPU.REMAT_POLICY='qkv' the
+    # surrounding jax.checkpoint saves exactly these three (48 MB/layer at
+    # DSFVT b64) so the backward's attention vjp doesn't replay LN+QKV —
+    # measured ~0.45 ms/layer of recompute for ~0.15 ms of stash traffic
+    q = checkpoint_name(jnp.einsum("bnd,adk->bank", y, p.wq), "qkv")
+    k = checkpoint_name(jnp.einsum("bnd,adk->bank", y, p.wk), "qkv")
+    v = checkpoint_name(jnp.einsum("bnd,adk->bank", y, p.wv), "qkv")
     out = attention_core(q, k, v, bias, mask, use_pallas=use_pallas)  # (nb, na, n, da)
     out = out.transpose(0, 2, 1, 3).reshape(nb, n, na * da)
     out = out @ p.proj

@@ -29,7 +29,8 @@ def main():
                    help="stream per-pixel decoder weights as int8 "
                         "(per-column scales folded exactly)")
     p.add_argument("--seg", type=int, default=0, help="cache segment size "
-                   "(0 = heuristic max(64, thw//4))")
+                   "(0 = heuristic max(64, block_run//4); capped at the "
+                   "block run length)")
     p.add_argument("--dtype", default="bfloat16")
     args = p.parse_args()
 
