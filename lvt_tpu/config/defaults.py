@@ -199,6 +199,9 @@ _C.TPU.REMAT = True
 # whole layer in backward, minimum memory); "dots" saves MXU outputs and
 # recomputes only elementwise work (LN/relu/residual stashes traded for VPU
 # recompute — less HBM stash traffic at near-zero FLOP cost)
-_C.TPU.REMAT_POLICY = ""
+_C.TPU.REMAT_POLICY = ""  # "" (save nothing) | "dots" | "qkv" (save q/k/v)
+# run each teacher-forced transformer layer as ONE Pallas kernel (TPU only,
+# geometry-gated; the fused layer is its own remat unit — ops/fused_layer.py)
+_C.TPU.FUSED_LAYER = False
 _C.TPU.SHARD_SPATIAL = False  # SP: shard image rows over the model axis
 # (conv halo exchanges inserted by XLA; VQ-VAE stage only)

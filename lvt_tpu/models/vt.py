@@ -150,20 +150,30 @@ def _layer_norm(x, scale, bias, eps=1e-5):
 
 
 def _checkpoint_policy(remat):
-    """remat: False | True (save nothing) | "dots" (save matmul outputs)."""
+    """remat: False | True (save nothing) | "dots" (save matmul outputs) |
+    "qkv" (save only the checkpoint_name-tagged q/k/v projections — skips
+    the LN+QKV replay the attention vjp otherwise forces, without stashing
+    the fp32 score matrices that make "dots" a net loss)."""
     if remat == "dots":
         return jax.checkpoint_policies.checkpoint_dots
+    if remat == "qkv":
+        return jax.checkpoint_policies.save_only_these_names("qkv")
     return None
 
 
 def _apply_attn_stack(x, layers, blocks, masked, *, use_pallas=None,
-                      remat=False):
+                      remat=False, fused=False):
     """Run a stack of BlockLocalAttention layers.
 
     When every layer shares one block size (true for all shipped configs),
     the per-layer params are stacked and driven by ONE lax.scan — ~L x
     smaller HLO, ~L x faster compiles than Python unrolling; heterogeneous
     stacks fall back to the unrolled loop.
+
+    fused=True (TPU.FUSED_LAYER) runs each layer as ONE Pallas kernel
+    (ops/fused_layer.py) on TPU when the geometry qualifies; the fused
+    layer recomputes through the XLA vjp in its backward, so it is its own
+    remat unit and skips the jax.checkpoint wrapper.
     """
     homogeneous = (len(set(blocks)) == 1 and len(layers) > 1
                    and len({tuple(l.wq.shape) for l in layers}) == 1)
@@ -182,6 +192,14 @@ def _apply_attn_stack(x, layers, blocks, masked, *, use_pallas=None,
             split_blocks,
         )
 
+        on_tpu = (use_pallas if use_pallas is not None
+                  else jax.default_backend() == "tpu")
+        use_fused = fused and on_tpu
+        if use_fused:
+            from ..ops.fused_layer import fused_block_layer, fused_layer_supported
+
+            use_fused = fused_layer_supported(layers, blocks)
+
         stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *layers)
         blk = blocks[0]
         t, h, w = blk
@@ -192,6 +210,10 @@ def _apply_attn_stack(x, layers, blocks, masked, *, use_pallas=None,
         tokens, geom = split_blocks(x, blk)
 
         def body(tok, pp):
+            if use_fused:
+                bias = relative_bias(pp.dt_bank, pp.dh_bank, pp.dw_bank, blk)
+                return fused_block_layer(tok, pp, bias, masked), None
+
             def layer(tok, pp):
                 bias = relative_bias(pp.dt_bank, pp.dh_bank, pp.dw_bank, blk)
                 tok = mha_tokens(tok, pp, bias, mask, use_pallas=use_pallas)
@@ -213,7 +235,7 @@ def _apply_attn_stack(x, layers, blocks, masked, *, use_pallas=None,
 
 
 def vt_encode(params, c: VTConfig, ctx, slice_idx, class_idx=None, *,
-              use_pallas=None, remat=False):
+              use_pallas=None, remat=False, fused=False):
     """Context branch. ctx: (b, nc, T', H', W') codes with pad_value at
     invisible positions; slice_idx: (b,). Returns zl (b, t, h, w, d)."""
     enc = params["encoder"]
@@ -228,11 +250,11 @@ def vt_encode(params, c: VTConfig, ctx, slice_idx, class_idx=None, *,
         x = jnp.concatenate([x, cls], axis=-1)
     x = x @ enc["projector"]
     return _apply_attn_stack(x, enc["layers"], c.blocks_e, False,
-                             use_pallas=use_pallas, remat=remat)
+                             use_pallas=use_pallas, remat=remat, fused=fused)
 
 
 def vt_decode(params, c: VTConfig, slice_codes, zl, *, use_pallas=None,
-              remat=False):
+              remat=False, fused=False):
     """Slice branch. slice_codes: (b, nc, t, h, w) int; zl: (b, t, h, w, d).
     Returns yl (b, t, h, w, d)."""
     dec = params["decoder"]
@@ -247,7 +269,7 @@ def vt_decode(params, c: VTConfig, slice_codes, zl, *, use_pallas=None,
     x = add_positional_encoding(x)
     x = x + zl @ dec["projector"]
     return _apply_attn_stack(x, dec["layers"], c.blocks_d, True,
-                             use_pallas=use_pallas, remat=remat)
+                             use_pallas=use_pallas, remat=remat, fused=fused)
 
 
 def _predictor_head(pred, c: VTConfig, k: int, u, dec_params):
@@ -276,15 +298,15 @@ def _predictor_u(pred, c: VTConfig, k: int, y, codes):
 
 
 def vt_logits(params, c: VTConfig, ctx, slice_codes, slice_idx, class_idx=None,
-              *, use_pallas=None, remat=False):
+              *, use_pallas=None, remat=False, fused=False):
     """Teacher-forced logits for all positions/channels.
 
     Returns (b, t, h, w, nc, nv) float32.
     """
     zl = vt_encode(params, c, ctx, slice_idx, class_idx,
-                   use_pallas=use_pallas, remat=remat)
+                   use_pallas=use_pallas, remat=remat, fused=fused)
     yl = vt_decode(params, c, slice_codes, zl, use_pallas=use_pallas,
-                   remat=remat)
+                   remat=remat, fused=fused)
     pred = params["predictor"]
     y = _layer_norm(yl, pred["ln_scale"], pred["ln_bias"])
 
@@ -339,11 +361,14 @@ class VideoTransformer:
         self.use_pallas: Optional[bool] = None
         # False | True (full remat) | "dots" (policy, see TPU.REMAT_POLICY)
         policy = getattr(cfg.TPU, "REMAT_POLICY", "")
-        if policy not in ("", "dots"):
+        if policy not in ("", "dots", "qkv"):
             raise ValueError(
-                f"TPU.REMAT_POLICY must be '' (full remat) or 'dots', "
-                f"got {policy!r}")
+                f"TPU.REMAT_POLICY must be '' (full remat), 'dots' or "
+                f"'qkv', got {policy!r}")
         self.remat = (policy or True) if cfg.TPU.REMAT else False
+        # whole-layer Pallas fusion for the teacher-forced stacks (TPU only,
+        # geometry-gated in _apply_attn_stack; see ops/fused_layer.py)
+        self.fused = bool(getattr(cfg.TPU, "FUSED_LAYER", False))
 
     def _plan_for(self, T: int, H: int, W: int):
         """Subscale gather plan for one latent geometry. Params are
@@ -433,7 +458,7 @@ class VideoTransformer:
 
         logits = vt_logits(params["netG"], self.c, ctx, slice_codes, slice_idx,
                            class_idx, use_pallas=self.use_pallas,
-                           remat=self.remat)  # (b, t, h, w, nc, nv)
+                           remat=self.remat, fused=self.fused)  # (b, t, h, w, nc, nv)
         targets = jnp.moveaxis(slice_codes, 1, -1)  # (b, t, h, w, nc)
         valid = ~ignore[..., None]  # (b, t, h, w, 1) -> broadcast over nc
 
@@ -513,7 +538,8 @@ class VideoTransformer:
             sl = ss.gather_slice(vflat, sl_maps[s])
             sidx = jnp.full((b,), s, jnp.int32)
             lg = vt_logits(params["netG"], self.c, ctx, sl, sidx, class_idx,
-                           use_pallas=self.use_pallas)  # (b, t, h, w, nc, nv)
+                           use_pallas=self.use_pallas,
+                           fused=self.fused)  # (b, t, h, w, nc, nv)
             lg_flat = lg.reshape(b, -1, nc, self.c.nv)
             logits_flat = logits_flat.at[:, sl_maps[s].reshape(-1)].set(lg_flat)
             return logits_flat, None

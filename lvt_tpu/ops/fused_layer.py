@@ -1,0 +1,185 @@
+"""Whole-layer fused Pallas forward for the block-local transformer layer.
+
+One kernel program computes, for one attention block of n tokens:
+
+    LN -> per-head QKV -> softmax(QK^T/sqrt(da) + B [+ causal]) V
+       -> head-accumulated proj + residual -> LN -> FFN + residual
+
+entirely in VMEM — the activations never round-trip HBM between the ~10
+fusions XLA otherwise schedules (measured 0.81 ms/layer forward at DSFVT
+b64, of which only ~0.49 ms is MXU GEMM time; the rest is inter-fusion
+traffic and layout copies).
+
+The backward is the XLA vjp of the unfused layer (`mha_tokens` +
+`ffn_tokens`, ops/attention.py) recomputed from the saved inputs — i.e.
+the fused layer IS its own remat unit, so callers skip `jax.checkpoint`
+around it. The XLA recompute keeps the fused Pallas attention bwd kernel
+on its inner path.
+
+Gated (TPU.FUSED_LAYER) because Mosaic on v5e is fragile (CLAUDE.md):
+used only when every layer shares one block geometry and `da % 128 == 0`
+(head slices stay lane-aligned; true for all shipped configs, da=128).
+
+Reference semantics anchor: vt_attention.py:84-138 (pre-LN heads,
+concat-proj residual, LN-Linear-ReLU-Linear FFN residual).
+"""
+
+from functools import lru_cache
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def fused_layer_tokens_pallas(tok, p, bias, mask: Optional[np.ndarray], *,
+                              interpret: bool = False):
+    """tok: (nb, n, d); p: BlockAttnParams; bias: (na, n, n) fp32;
+    mask: (n, n) bool or None. Returns (nb, n, d) in tok.dtype."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    nb, n, d = tok.shape
+    na, _, da = p.wq.shape
+    scale = 1.0 / float(np.sqrt(da))
+    mask_arr = None if mask is None else jnp.asarray(mask[None], jnp.bool_)
+
+    # 1-D params go in as (1, d) rows (v5e Mosaic: no 1-D operands)
+    row = lambda a: jnp.asarray(a).reshape(1, -1)
+
+    def kernel(*refs):
+        if mask_arr is not None:
+            (x_ref, lns_ref, lnb_ref, wq_ref, wk_ref, wv_ref, proj_ref,
+             flns_ref, flnb_ref, w1_ref, b1_ref, w2_ref, b2_ref, bias_ref,
+             m_ref, o_ref) = refs
+        else:
+            (x_ref, lns_ref, lnb_ref, wq_ref, wk_ref, wv_ref, proj_ref,
+             flns_ref, flnb_ref, w1_ref, b1_ref, w2_ref, b2_ref, bias_ref,
+             o_ref) = refs
+        io_dt = x_ref.dtype
+
+        def ln(xf, s_ref, b_ref):
+            # fp32 stats over the feature dim, 2-D keepdims
+            mu = jnp.mean(xf, axis=1, keepdims=True)
+            var = jnp.mean((xf - mu) * (xf - mu), axis=1, keepdims=True)
+            return ((xf - mu) * jax.lax.rsqrt(var + 1e-5)
+                    * s_ref[0][None, :].astype(jnp.float32)
+                    + b_ref[0][None, :].astype(jnp.float32))
+
+        x = x_ref[0].astype(jnp.float32)  # (n, d)
+        y = ln(x, lns_ref, lnb_ref).astype(io_dt)
+
+        # attention: per-head QKV (n,d)@(d,da), softmax, PV, row-sliced proj
+        acc = jnp.zeros((n, d), jnp.float32)
+        for a in range(na):
+            q = jnp.dot(y, wq_ref[a], preferred_element_type=jnp.float32)
+            k = jnp.dot(y, wk_ref[a], preferred_element_type=jnp.float32)
+            v = jnp.dot(y, wv_ref[a], preferred_element_type=jnp.float32)
+            s = jax.lax.dot_general(
+                q.astype(io_dt), k.astype(io_dt),
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale
+            s = s + bias_ref[a].astype(jnp.float32)
+            if mask_arr is not None:
+                s = jnp.where(m_ref[0], jnp.float32(-1e4), s)
+            prob = jax.nn.softmax(s, axis=-1)
+            o = jnp.dot(prob.astype(io_dt), v.astype(io_dt),
+                        preferred_element_type=jnp.float32)  # (n, da)
+            acc = acc + jnp.dot(
+                o.astype(io_dt), proj_ref[a * da:(a + 1) * da, :],
+                preferred_element_type=jnp.float32)
+        x2 = acc + x  # residual, fp32
+
+        # FFN
+        y2 = ln(x2, flns_ref, flnb_ref).astype(io_dt)
+        f = jnp.dot(y2, w1_ref[...], preferred_element_type=jnp.float32)
+        f = jax.nn.relu(f + b1_ref[0][None, :].astype(jnp.float32))
+        g = jnp.dot(f.astype(io_dt), w2_ref[...],
+                    preferred_element_type=jnp.float32)
+        g = g + b2_ref[0][None, :].astype(jnp.float32)
+        o_ref[0] = (g + x2).astype(o_ref.dtype)
+
+    const = lambda shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape),
+                                       memory_space=pltpu.VMEM)
+    in_specs = [
+        pl.BlockSpec((1, n, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        const((1, d)), const((1, d)),
+        const((na, d, da)), const((na, d, da)), const((na, d, da)),
+        const((na * da, d)),
+        const((1, d)), const((1, d)),
+        const((d, d)), const((1, d)), const((d, d)), const((1, d)),
+        const((na, n, n)),
+    ]
+    args = [tok, row(p.ln_scale), row(p.ln_bias), p.wq, p.wk, p.wv, p.proj,
+            row(p.ffn_ln_scale), row(p.ffn_ln_bias), p.ffn_w1, row(p.ffn_b1),
+            p.ffn_w2, row(p.ffn_b2), bias]
+    if mask_arr is not None:
+        in_specs.append(const((1, n, n)))
+        args.append(mask_arr)
+
+    return pl.pallas_call(
+        kernel,
+        grid=(nb,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, n, d), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((nb, n, d), tok.dtype),
+        interpret=interpret,
+    )(*args)
+
+
+def _xla_layer(tok, p, bias, mask, use_pallas):
+    from .attention import ffn_tokens, mha_tokens
+
+    return ffn_tokens(mha_tokens(tok, p, bias, mask, use_pallas=use_pallas),
+                      p)
+
+
+@lru_cache(maxsize=8)
+def _fused_layer_ad(masked: bool):
+    """custom_vjp: Pallas fused forward; backward = XLA vjp of the unfused
+    layer recomputed from the inputs (remat semantics — callers skip
+    jax.checkpoint around this)."""
+    from .attention import causal_mask
+
+    def _mask(n):
+        return causal_mask(n) if masked else None
+
+    @jax.custom_vjp
+    def f(tok, p, bias):
+        return fused_layer_tokens_pallas(tok, p, bias, _mask(tok.shape[1]))
+
+    def fwd(tok, p, bias):
+        return f(tok, p, bias), (tok, p, bias)
+
+    def bwd(res, g):
+        tok, p, bias = res
+        _, vjp = jax.vjp(
+            lambda t_, p_, b_: _xla_layer(t_, p_, b_, _mask(tok.shape[1]),
+                                          True),
+            tok, p, bias)
+        return vjp(g)
+
+    f.defvjp(fwd, bwd)
+    return f
+
+
+def fused_block_layer(tok, p, bias, masked: bool):
+    """Differentiable fused layer on token blocks (nb, n, d)."""
+    return _fused_layer_ad(bool(masked))(tok, p, bias)
+
+
+def fused_layer_supported(layers, blocks) -> bool:
+    """Geometry gate: one shared block size, shared head shape, da lane-
+    aligned, and a block volume Mosaic handles (n <= 1024 keeps the
+    (na, n, n) bias + per-head score scratch inside VMEM)."""
+    if len(set(map(tuple, blocks))) != 1:
+        return False
+    shapes = {tuple(l.wq.shape) for l in layers}
+    if len(shapes) != 1:
+        return False
+    na, d, da = next(iter(shapes))
+    t, h, w = blocks[0]
+    n = t * h * w
+    return da % 128 == 0 and d % 128 == 0 and n <= 1024 and \
+        na * n * n * 4 <= 8 * 2 ** 20

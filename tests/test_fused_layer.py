@@ -1,0 +1,100 @@
+"""Whole-layer fused Pallas kernel (ops/fused_layer.py) vs the unfused XLA
+layer. Forward compared in interpret mode; the backward IS the XLA vjp by
+construction (custom_vjp recompute), so gradient correctness reduces to the
+already-tested attention/FFN vjps."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lvt_tpu.ops import attention as attn
+from lvt_tpu.ops import fused_layer as fl
+
+
+def _layer_params(rng, na, d, da, block):
+    t, h, w = block
+    r = lambda *s: jnp.asarray(rng.standard_normal(s) * 0.1, jnp.float32)
+    return attn.BlockAttnParams(
+        ln_scale=1.0 + r(d), ln_bias=r(d),
+        wq=r(na, d, da), wk=r(na, d, da), wv=r(na, d, da),
+        proj=r(na * da, d),
+        ffn_ln_scale=1.0 + r(d), ffn_ln_bias=r(d),
+        ffn_w1=r(d, d), ffn_b1=r(d), ffn_w2=r(d, d), ffn_b2=r(d),
+        dt_bank=r(na, 2 * t - 1), dh_bank=r(na, 2 * h - 1),
+        dw_bank=r(na, 2 * w - 1))
+
+
+@pytest.mark.parametrize("masked", [False, True])
+def test_fused_layer_matches_xla_layer(rng, masked):
+    na, d, da = 2, 32, 16
+    block = (1, 4, 4)
+    n = 16
+    nb = 3
+    p = _layer_params(rng, na, d, da, block)
+    tok = jnp.asarray(rng.standard_normal((nb, n, d)), jnp.float32)
+    bias = attn.relative_bias(p.dt_bank, p.dh_bank, p.dw_bank, block)
+    mask = attn.causal_mask(n) if masked else None
+
+    want = fl._xla_layer(tok, p, bias, mask, use_pallas=False)
+    got = fl.fused_layer_tokens_pallas(tok, p, bias, mask, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_fused_layer_bf16(rng):
+    na, d, da = 2, 32, 16
+    block = (1, 4, 4)
+    p = jax.tree_util.tree_map(
+        lambda a: a.astype(jnp.bfloat16), _layer_params(rng, na, d, da, block))
+    tok = jnp.asarray(rng.standard_normal((2, 16, d)), jnp.bfloat16)
+    bias = attn.relative_bias(p.dt_bank, p.dh_bank, p.dw_bank, block)
+    got = fl.fused_layer_tokens_pallas(tok, p, bias, attn.causal_mask(16),
+                                       interpret=True)
+    want = fl._xla_layer(tok, p, bias, attn.causal_mask(16), use_pallas=False)
+    assert got.dtype == jnp.bfloat16
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(want, np.float32), atol=0.15)
+
+
+def test_fused_layer_supported_gate():
+    class L:
+        def __init__(self, shape):
+            self.wq = np.zeros(shape)
+
+    layers = [L((8, 512, 128))] * 2
+    assert fl.fused_layer_supported(layers, [(1, 16, 16)] * 2)       # DSFVT
+    assert fl.fused_layer_supported(layers, [(4, 8, 8)] * 2)         # DSSVT
+    assert not fl.fused_layer_supported(layers, [(1, 16, 16), (4, 8, 8)])
+    assert not fl.fused_layer_supported([L((8, 512, 64))] * 2,
+                                        [(1, 16, 16)] * 2)           # da 64
+    # mixed head shapes
+    assert not fl.fused_layer_supported([L((8, 512, 128)), L((4, 512, 128))],
+                                        [(1, 16, 16)] * 2)
+
+
+def test_fused_flag_is_inert_on_cpu(rng):
+    """TPU.FUSED_LAYER=True on the CPU backend must fall back to the XLA
+    path (same guard semantics as use_pallas)."""
+    from lvt_tpu.config import get_cfg
+    from lvt_tpu.models.vt import VideoTransformer
+
+    cfg = get_cfg()
+    cfg.MODEL.META_ARCHITECTURE = "VideoTransformerModel"
+    v = cfg.MODEL.AUTOREGRESSIVE.VT
+    v.NC, v.NV = 2, 8
+    v.KERNEL, v.STRIDE = (3, 1, 1), (4, 1, 1)
+    v.D, v.DA, v.DE = 32, 16, 16
+    v.BLOCKS_E = ((1, 4, 4),) * 2
+    v.N_HEAD_E = (2, 2)
+    v.BLOCKS_D = ((1, 4, 4),) * 2
+    v.N_HEAD_D = (2, 2)
+    v.N_PRIME = 1
+    v.SHARE_P = False
+    cfg.TPU.FUSED_LAYER = True
+    m = VideoTransformer(cfg, T=4, H=4, W=4)
+    assert m.fused
+    params, _ = m.init(jax.random.key(0))
+    video = jnp.asarray(rng.integers(0, 8, (2, 2, 4, 4, 4)), jnp.int32)
+    loss, _ = m.loss(params, {"video": video}, jax.random.key(1))
+    assert np.isfinite(float(loss))

@@ -205,7 +205,7 @@ def test_remat_flag_preserves_loss_and_grads(rng):
         return lambda p: m.loss(p, {"video": video}, key)[0]
 
     l0, g0 = jax.value_and_grad(loss(m0))(params)
-    for m1 in (build(True), build(True, "dots")):
+    for m1 in (build(True), build(True, "dots"), build(True, "qkv")):
         l1, g1 = jax.value_and_grad(loss(m1))(params)
         np.testing.assert_allclose(float(l0), float(l1), rtol=1e-6)
         for a, b in zip(jax.tree_util.tree_leaves(g0),

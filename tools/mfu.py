@@ -76,6 +76,8 @@ def main():
     p.add_argument("--remat-policy", default="",
                    help="TPU.REMAT_POLICY ('dots' = save matmul outputs); "
                         "implies --remat")
+    p.add_argument("--fused", action="store_true",
+                   help="TPU.FUSED_LAYER: whole-layer Pallas kernel")
     p.add_argument("--dtype", default=None, help="override TPU.COMPUTE_DTYPE")
     p.add_argument("--trace", default="", help="capture a profiler trace here")
     args = p.parse_args()
@@ -96,6 +98,8 @@ def main():
         cfg.TPU.REMAT_POLICY = args.remat_policy
     if args.no_remat:
         cfg.TPU.REMAT = False
+    if args.fused:
+        cfg.TPU.FUSED_LAYER = True
     if args.dtype:
         cfg.TPU.COMPUTE_DTYPE = args.dtype
     cfg.VIS_PERIOD = 0
@@ -168,6 +172,7 @@ def main():
         "batch": args.batch,
         "remat": bool(cfg.TPU.REMAT),
         "remat_policy": cfg.TPU.REMAT_POLICY,
+        "fused_layer": bool(getattr(cfg.TPU, "FUSED_LAYER", False)),
         "compute_dtype": cfg.TPU.COMPUTE_DTYPE,
         "device_kind": kind,
         "s_per_it": round(dt, 4),
