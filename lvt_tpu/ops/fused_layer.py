@@ -59,12 +59,14 @@ def fused_layer_tokens_pallas(tok, p, bias, mask: Optional[np.ndarray], *,
         io_dt = x_ref.dtype
 
         def ln(xf, s_ref, b_ref):
-            # fp32 stats over the feature dim, 2-D keepdims
+            # fp32 stats over the feature dim; everything stays 2-D — the
+            # v5e Mosaic compiler crashes on 1-D intermediates (CLAUDE.md),
+            # so the (1, d) param rows broadcast directly
             mu = jnp.mean(xf, axis=1, keepdims=True)
             var = jnp.mean((xf - mu) * (xf - mu), axis=1, keepdims=True)
             return ((xf - mu) * jax.lax.rsqrt(var + 1e-5)
-                    * s_ref[0][None, :].astype(jnp.float32)
-                    + b_ref[0][None, :].astype(jnp.float32))
+                    * s_ref[...].astype(jnp.float32)
+                    + b_ref[...].astype(jnp.float32))
 
         x = x_ref[0].astype(jnp.float32)  # (n, d)
         y = ln(x, lns_ref, lnb_ref).astype(io_dt)
@@ -93,10 +95,10 @@ def fused_layer_tokens_pallas(tok, p, bias, mask: Optional[np.ndarray], *,
         # FFN
         y2 = ln(x2, flns_ref, flnb_ref).astype(io_dt)
         f = jnp.dot(y2, w1_ref[...], preferred_element_type=jnp.float32)
-        f = jax.nn.relu(f + b1_ref[0][None, :].astype(jnp.float32))
+        f = jax.nn.relu(f + b1_ref[...].astype(jnp.float32))
         g = jnp.dot(f.astype(io_dt), w2_ref[...],
                     preferred_element_type=jnp.float32)
-        g = g + b2_ref[0][None, :].astype(jnp.float32)
+        g = g + b2_ref[...].astype(jnp.float32)
         o_ref[0] = (g + x2).astype(o_ref.dtype)
 
     const = lambda shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape),
