@@ -33,9 +33,12 @@ import numpy as np
 
 
 def fused_layer_tokens_pallas(tok, p, bias, mask: Optional[np.ndarray], *,
+                              with_x2: bool = False,
                               interpret: bool = False):
     """tok: (nb, n, d); p: BlockAttnParams; bias: (na, n, n) fp32;
-    mask: (n, n) bool or None. Returns (nb, n, d) in tok.dtype."""
+    mask: (n, n) bool or None. Returns (nb, n, d) in tok.dtype — or
+    (out, x2) with the post-attention residual when with_x2 (saved by the
+    AD wrapper so the FFN-half backward kernel skips its recompute)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -48,6 +51,8 @@ def fused_layer_tokens_pallas(tok, p, bias, mask: Optional[np.ndarray], *,
     row = lambda a: jnp.asarray(a).reshape(1, -1)
 
     def kernel(*refs):
+        if with_x2:
+            *refs, x2_ref = refs
         if mask_arr is not None:
             (x_ref, lns_ref, lnb_ref, wq_ref, wk_ref, wv_ref, proj_ref,
              flns_ref, flnb_ref, w1_ref, b1_ref, w2_ref, b2_ref, bias_ref,
@@ -91,6 +96,8 @@ def fused_layer_tokens_pallas(tok, p, bias, mask: Optional[np.ndarray], *,
                 o.astype(io_dt), proj_ref[a * da:(a + 1) * da, :],
                 preferred_element_type=jnp.float32)
         x2 = acc + x  # residual, fp32
+        if with_x2:
+            x2_ref[0] = x2.astype(x2_ref.dtype)
 
         # FFN
         y2 = ln(x2, flns_ref, flnb_ref).astype(io_dt)
@@ -119,15 +126,123 @@ def fused_layer_tokens_pallas(tok, p, bias, mask: Optional[np.ndarray], *,
         in_specs.append(const((1, n, n)))
         args.append(mask_arr)
 
+    tile = pl.BlockSpec((1, n, d), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
+    out_specs = [tile, tile] if with_x2 else tile
+    out_shape = ([jax.ShapeDtypeStruct((nb, n, d), tok.dtype)] * 2
+                 if with_x2 else jax.ShapeDtypeStruct((nb, n, d), tok.dtype))
     return pl.pallas_call(
         kernel,
         grid=(nb,),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, n, d), lambda i: (i, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((nb, n, d), tok.dtype),
+        out_specs=out_specs,
+        out_shape=out_shape,
         interpret=interpret,
     )(*args)
+
+
+def ffn_half_bwd_pallas(x2, g, p, *, interpret: bool = False):
+    """Fused backward of the FFN half: out = x2 + FFN(LN(x2)).
+
+    x2: (nb, n, d) post-attention residual (saved by the forward);
+    g: (nb, n, d) cotangent at the layer output. Returns
+    (dx2, dw1, db1, dw2, db2, dls, dlb) — the weight/LN grads accumulated
+    in fp32 across the block grid inside VMEM (grid iteration on TPU is
+    sequential, same recipe as the attention bwd kernel's dbias).
+
+    Replaces ~6 XLA fusions per layer (FFN forward recompute, two GEMM
+    vjps, relu mask, LN backward, residual add) with one VMEM-resident
+    program; the accumulator set (2 d^2 fp32 + 4 rows) is ~2.3 MB for
+    d=512 — comfortably inside v5e VMEM, unlike the attention half whose
+    dwq/dwk/dwv/dproj/dbias set does not fit.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    nb, n, d = x2.shape
+    row = lambda a: jnp.asarray(a).reshape(1, -1)
+
+    def kernel(x2_ref, g_ref, fls_ref, flb_ref, w1_ref, b1_ref, w2_ref,
+               dx2_ref, dw1_ref, db1_ref, dw2_ref, db2_ref, dls_ref,
+               dlb_ref):
+        io_dt = x2_ref.dtype
+
+        @pl.when(pl.program_id(0) == 0)
+        def _init():
+            dw1_ref[...] = jnp.zeros_like(dw1_ref)
+            db1_ref[...] = jnp.zeros_like(db1_ref)
+            dw2_ref[...] = jnp.zeros_like(dw2_ref)
+            db2_ref[...] = jnp.zeros_like(db2_ref)
+            dls_ref[...] = jnp.zeros_like(dls_ref)
+            dlb_ref[...] = jnp.zeros_like(dlb_ref)
+
+        x2 = x2_ref[0].astype(jnp.float32)  # (n, d)
+        go = g_ref[0]
+        go32 = go.astype(jnp.float32)
+
+        # LN forward recompute (fp32, 2-D throughout)
+        mu = jnp.mean(x2, axis=1, keepdims=True)
+        var = jnp.mean((x2 - mu) * (x2 - mu), axis=1, keepdims=True)
+        r = jax.lax.rsqrt(var + 1e-5)
+        yhat = (x2 - mu) * r
+        gam = fls_ref[...].astype(jnp.float32)
+        y2 = (yhat * gam + flb_ref[...].astype(jnp.float32)).astype(io_dt)
+
+        f_pre = jnp.dot(y2, w1_ref[...], preferred_element_type=jnp.float32)
+        f_pre = f_pre + b1_ref[...].astype(jnp.float32)
+        f = jax.nn.relu(f_pre).astype(io_dt)
+
+        # FFN backward
+        dw2_ref[...] += jax.lax.dot_general(  # f^T @ go
+            f, go, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        db2_ref[...] += jnp.sum(go32, axis=0, keepdims=True)
+        df = jax.lax.dot_general(  # go @ w2^T
+            go, w2_ref[...], dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dfp = jnp.where(f_pre > 0.0, df, 0.0)
+        dfp_io = dfp.astype(io_dt)
+        dw1_ref[...] += jax.lax.dot_general(  # y2^T @ dfp
+            y2, dfp_io, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        db1_ref[...] += jnp.sum(dfp, axis=0, keepdims=True)
+        dy2 = jax.lax.dot_general(  # dfp @ w1^T
+            dfp_io, w1_ref[...], dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+        # LN backward
+        dls_ref[...] += jnp.sum(dy2 * yhat, axis=0, keepdims=True)
+        dlb_ref[...] += jnp.sum(dy2, axis=0, keepdims=True)
+        dyh = dy2 * gam
+        m1 = jnp.mean(dyh, axis=1, keepdims=True)
+        m2 = jnp.mean(dyh * yhat, axis=1, keepdims=True)
+        dx2_ln = r * (dyh - m1 - yhat * m2)
+        dx2_ref[0] = (dx2_ln + go32).astype(dx2_ref.dtype)
+
+    const = lambda shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape),
+                                       memory_space=pltpu.VMEM)
+    tile = pl.BlockSpec((1, n, d), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
+    dx2, dw1, db1, dw2, db2, dls, dlb = pl.pallas_call(
+        kernel,
+        grid=(nb,),
+        in_specs=[tile, tile, const((1, d)), const((1, d)), const((d, d)),
+                  const((1, d)), const((d, d))],
+        out_specs=[tile, const((d, d)), const((1, d)), const((d, d)),
+                   const((1, d)), const((1, d)), const((1, d))],
+        out_shape=[jax.ShapeDtypeStruct((nb, n, d), x2.dtype),
+                   jax.ShapeDtypeStruct((d, d), jnp.float32),
+                   jax.ShapeDtypeStruct((1, d), jnp.float32),
+                   jax.ShapeDtypeStruct((d, d), jnp.float32),
+                   jax.ShapeDtypeStruct((1, d), jnp.float32),
+                   jax.ShapeDtypeStruct((1, d), jnp.float32),
+                   jax.ShapeDtypeStruct((1, d), jnp.float32)],
+        interpret=interpret,
+    )(x2, g, row(p.ffn_ln_scale), row(p.ffn_ln_bias), p.ffn_w1,
+      row(p.ffn_b1), p.ffn_w2)
+    dt = p.ffn_w1.dtype
+    return (dx2, dw1.astype(dt), db1[0].astype(dt), dw2.astype(dt),
+            db2[0].astype(dt), dls[0].astype(dt), dlb[0].astype(dt))
 
 
 def _xla_layer(tok, p, bias, mask, use_pallas):
@@ -137,30 +252,49 @@ def _xla_layer(tok, p, bias, mask, use_pallas):
                       p)
 
 
+# test hook: route every pallas_call through the interpreter and the XLA
+# attention core so the full custom_vjp composes on CPU
+_FORCE_INTERPRET = False
+
+
 @lru_cache(maxsize=8)
 def _fused_layer_ad(masked: bool):
-    """custom_vjp: Pallas fused forward; backward = XLA vjp of the unfused
-    layer recomputed from the inputs (remat semantics — callers skip
-    jax.checkpoint around this)."""
-    from .attention import causal_mask
+    """custom_vjp: Pallas fused forward (also emitting the post-attention
+    residual x2); backward = fused Pallas FFN-half kernel from the saved
+    x2, then the XLA vjp of the attention half (whose inner attention
+    fwd/bwd are the existing fused Pallas kernels) recomputed from the
+    inputs — remat semantics, callers skip jax.checkpoint."""
+    from .attention import causal_mask, mha_tokens
 
     def _mask(n):
         return causal_mask(n) if masked else None
 
     @jax.custom_vjp
     def f(tok, p, bias):
-        return fused_layer_tokens_pallas(tok, p, bias, _mask(tok.shape[1]))
+        out, _ = fused_layer_tokens_pallas(
+            tok, p, bias, _mask(tok.shape[1]), with_x2=True,
+            interpret=_FORCE_INTERPRET)
+        return out
 
     def fwd(tok, p, bias):
-        return f(tok, p, bias), (tok, p, bias)
+        out, x2 = fused_layer_tokens_pallas(
+            tok, p, bias, _mask(tok.shape[1]), with_x2=True,
+            interpret=_FORCE_INTERPRET)
+        return out, (tok, x2, p, bias)
 
     def bwd(res, g):
-        tok, p, bias = res
+        tok, x2, p, bias = res
+        dx2, dw1, db1, dw2, db2, dls, dlb = ffn_half_bwd_pallas(
+            x2, g, p, interpret=_FORCE_INTERPRET)
+        use_pallas = False if _FORCE_INTERPRET else None
         _, vjp = jax.vjp(
-            lambda t_, p_, b_: _xla_layer(t_, p_, b_, _mask(tok.shape[1]),
-                                          True),
+            lambda t_, p_, b_: mha_tokens(t_, p_, b_, _mask(tok.shape[1]),
+                                          use_pallas=use_pallas),
             tok, p, bias)
-        return vjp(g)
+        dtok, dp_attn, dbias = vjp(dx2.astype(g.dtype))
+        dp = dp_attn._replace(ffn_w1=dw1, ffn_b1=db1, ffn_w2=dw2,
+                              ffn_b2=db2, ffn_ln_scale=dls, ffn_ln_bias=dlb)
+        return dtok, dp, dbias
 
     f.defvjp(fwd, bwd)
     return f

@@ -57,6 +57,68 @@ def test_fused_layer_bf16(rng):
                                np.asarray(want, np.float32), atol=0.15)
 
 
+def test_ffn_half_bwd_matches_xla_vjp(rng):
+    """The fused FFN-half backward kernel == jax.vjp of ffn_tokens."""
+    na, d, da = 2, 32, 16
+    block = (1, 4, 4)
+    p = _layer_params(rng, na, d, da, block)
+    x2 = jnp.asarray(rng.standard_normal((3, 16, d)), jnp.float32)
+    g = jnp.asarray(rng.standard_normal((3, 16, d)), jnp.float32)
+
+    _, vjp = jax.vjp(lambda x_, p_: attn.ffn_tokens(x_, p_), x2, p)
+    want_dx, want_dp = vjp(g)
+    dx2, dw1, db1, dw2, db2, dls, dlb = fl.ffn_half_bwd_pallas(
+        x2, g, p, interpret=True)
+    np.testing.assert_allclose(np.asarray(dx2), np.asarray(want_dx),
+                               rtol=2e-4, atol=2e-4)
+    for got, want, name in [(dw1, want_dp.ffn_w1, "dw1"),
+                            (db1, want_dp.ffn_b1, "db1"),
+                            (dw2, want_dp.ffn_w2, "dw2"),
+                            (db2, want_dp.ffn_b2, "db2"),
+                            (dls, want_dp.ffn_ln_scale, "dls"),
+                            (dlb, want_dp.ffn_ln_bias, "dlb")]:
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-4, atol=2e-4, err_msg=name)
+
+
+@pytest.mark.parametrize("masked", [False, True])
+def test_fused_layer_grads_match_xla_layer(rng, masked):
+    """End-to-end custom_vjp (fused fwd + FFN-half kernel + attention XLA
+    vjp) vs autodiff through the unfused XLA layer."""
+    na, d, da = 2, 32, 16
+    block = (1, 4, 4)
+    n = 16
+    p = _layer_params(rng, na, d, da, block)
+    tok = jnp.asarray(rng.standard_normal((2, n, d)), jnp.float32)
+    bias = attn.relative_bias(p.dt_bank, p.dh_bank, p.dw_bank, block)
+    mask = attn.causal_mask(n) if masked else None
+
+    def loss_ref(t, pp, b):
+        return jnp.sum(fl._xla_layer(t, pp, b, mask, use_pallas=False) ** 2)
+
+    want, wgrads = jax.value_and_grad(loss_ref, argnums=(0, 1, 2))(tok, p, bias)
+
+    fl._FORCE_INTERPRET = True
+    fl._fused_layer_ad.cache_clear()
+    try:
+        def loss_fused(t, pp, b):
+            return jnp.sum(fl.fused_block_layer(t, pp, b, masked) ** 2)
+
+        got, ggrads = jax.value_and_grad(
+            loss_fused, argnums=(0, 1, 2))(tok, p, bias)
+    finally:
+        fl._FORCE_INTERPRET = False
+        fl._fused_layer_ad.cache_clear()
+
+    np.testing.assert_allclose(float(got), float(want), rtol=1e-5)
+    for (path, a), b in zip(
+            jax.tree_util.tree_leaves_with_path(ggrads),
+            jax.tree_util.tree_leaves(wgrads)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-4, atol=5e-4,
+            err_msg=jax.tree_util.keystr(path))
+
+
 def test_fused_layer_supported_gate():
     class L:
         def __init__(self, shape):
