@@ -245,6 +245,159 @@ def ffn_half_bwd_pallas(x2, g, p, *, interpret: bool = False):
             db2[0].astype(dt), dls[0].astype(dt), dlb[0].astype(dt))
 
 
+def attn_half_bwd_pallas(x, dx2, p, bias, mask: Optional[np.ndarray],
+                         h0: int, h1: int, *, interpret: bool = False):
+    """Fused backward of the attention half for heads [h0, h1).
+
+    x: (nb, n, d) layer input; dx2: (nb, n, d) cotangent at the
+    post-attention residual. Recomputes LN -> q/k/v -> softmax per head in
+    VMEM and emits:
+
+      dy_part  (nb, n, d)  — sum over these heads of dq wq^T + dk wk^T +
+                             dv wv^T (LN backward is applied by the caller
+                             on the total dy)
+      dwq/dwk/dwv ((h1-h0), d, da) fp32, dproj ((h1-h0)*da, d) fp32,
+      dbias ((h1-h0), n, n) fp32 — grid-accumulated in VMEM.
+
+    Split by heads because the full-na accumulator set (dwq/dwk/dwv 6.3 MB
+    + dproj 2.1 + dbias 2.1 fp32) plus weights and score scratch exceeds
+    v5e's ~16 MB VMEM; at na/2 heads per call everything fits with room
+    for double buffering.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    nb, n, d = x.shape
+    na, _, da = p.wq.shape
+    nh = h1 - h0
+    scale = 1.0 / float(np.sqrt(da))
+    mask_arr = None if mask is None else jnp.asarray(mask[None], jnp.bool_)
+    row = lambda a: jnp.asarray(a).reshape(1, -1)
+
+    def kernel(*refs):
+        if mask_arr is not None:
+            (x_ref, g_ref, lns_ref, lnb_ref, wq_ref, wk_ref, wv_ref,
+             proj_ref, bias_ref, m_ref, dy_ref, dwq_ref, dwk_ref, dwv_ref,
+             dproj_ref, dbias_ref) = refs
+        else:
+            (x_ref, g_ref, lns_ref, lnb_ref, wq_ref, wk_ref, wv_ref,
+             proj_ref, bias_ref, dy_ref, dwq_ref, dwk_ref, dwv_ref,
+             dproj_ref, dbias_ref) = refs
+        io_dt = x_ref.dtype
+
+        @pl.when(pl.program_id(0) == 0)
+        def _init():
+            dwq_ref[...] = jnp.zeros_like(dwq_ref)
+            dwk_ref[...] = jnp.zeros_like(dwk_ref)
+            dwv_ref[...] = jnp.zeros_like(dwv_ref)
+            dproj_ref[...] = jnp.zeros_like(dproj_ref)
+            dbias_ref[...] = jnp.zeros_like(dbias_ref)
+
+        xf = x_ref[0].astype(jnp.float32)
+        mu = jnp.mean(xf, axis=1, keepdims=True)
+        var = jnp.mean((xf - mu) * (xf - mu), axis=1, keepdims=True)
+        y = ((xf - mu) * jax.lax.rsqrt(var + 1e-5)
+             * lns_ref[...].astype(jnp.float32)
+             + lnb_ref[...].astype(jnp.float32)).astype(io_dt)
+        dacc = g_ref[0]  # (n, d), io dtype
+
+        dy = jnp.zeros((n, d), jnp.float32)
+        for a in range(nh):
+            q = jnp.dot(y, wq_ref[a], preferred_element_type=jnp.float32)
+            k = jnp.dot(y, wk_ref[a], preferred_element_type=jnp.float32)
+            v = jnp.dot(y, wv_ref[a], preferred_element_type=jnp.float32)
+            q_io, k_io, v_io = (q.astype(io_dt), k.astype(io_dt),
+                                v.astype(io_dt))
+            s = jax.lax.dot_general(
+                q_io, k_io, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale
+            s = s + bias_ref[a].astype(jnp.float32)
+            if mask_arr is not None:
+                s = jnp.where(m_ref[0], jnp.float32(-1e4), s)
+            prob = jax.nn.softmax(s, axis=-1)  # (n, n) fp32
+            p_io = prob.astype(io_dt)
+
+            # o_a recompute for dproj; do_a = dacc @ proj_a^T
+            o = jnp.dot(p_io, v_io, preferred_element_type=jnp.float32)
+            proj_a = proj_ref[a * da:(a + 1) * da, :]  # (da, d)
+            dproj_ref[a * da:(a + 1) * da, :] += jax.lax.dot_general(
+                o.astype(io_dt), dacc,
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            do = jax.lax.dot_general(  # (n, da)
+                dacc, proj_a, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32).astype(io_dt)
+
+            dv = jax.lax.dot_general(  # p^T @ do
+                p_io, do, dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            dp = jax.lax.dot_general(  # do @ v^T
+                do, v_io, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            ds = prob * (dp - jnp.sum(dp * prob, axis=-1, keepdims=True))
+            if mask_arr is not None:
+                ds = jnp.where(m_ref[0], jnp.float32(0.0), ds)
+            dbias_ref[a] += ds
+            ds_io = ds.astype(io_dt)
+            dq = jnp.dot(ds_io, k_io,
+                         preferred_element_type=jnp.float32) * scale
+            dk = jax.lax.dot_general(  # ds^T @ q
+                ds_io, q_io, dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale
+
+            dq_io, dk_io, dv_io = (dq.astype(io_dt), dk.astype(io_dt),
+                                   dv.astype(io_dt))
+            dwq_ref[a] += jax.lax.dot_general(  # y^T @ dq
+                y, dq_io, dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            dwk_ref[a] += jax.lax.dot_general(
+                y, dk_io, dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            dwv_ref[a] += jax.lax.dot_general(
+                y, dv_io, dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            dy = dy + jax.lax.dot_general(  # dq @ wq^T + ...
+                dq_io, wq_ref[a], dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            dy = dy + jax.lax.dot_general(
+                dk_io, wk_ref[a], dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            dy = dy + jax.lax.dot_general(
+                dv_io, wv_ref[a], dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+        dy_ref[0] = dy.astype(dy_ref.dtype)
+
+    const = lambda shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape),
+                                       memory_space=pltpu.VMEM)
+    tile = pl.BlockSpec((1, n, d), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
+    in_specs = [tile, tile, const((1, d)), const((1, d)),
+                const((nh, d, da)), const((nh, d, da)), const((nh, d, da)),
+                const((nh * da, d)), const((nh, n, n))]
+    args = [x, dx2, row(p.ln_scale), row(p.ln_bias),
+            p.wq[h0:h1], p.wk[h0:h1], p.wv[h0:h1],
+            p.proj[h0 * da:h1 * da], bias[h0:h1]]
+    if mask_arr is not None:
+        in_specs.append(const((1, n, n)))
+        args.append(mask_arr)
+
+    return pl.pallas_call(
+        kernel,
+        grid=(nb,),
+        in_specs=in_specs,
+        out_specs=[tile, const((nh, d, da)), const((nh, d, da)),
+                   const((nh, d, da)), const((nh * da, d)),
+                   const((nh, n, n))],
+        out_shape=[jax.ShapeDtypeStruct((nb, n, d), jnp.float32),
+                   jax.ShapeDtypeStruct((nh, d, da), jnp.float32),
+                   jax.ShapeDtypeStruct((nh, d, da), jnp.float32),
+                   jax.ShapeDtypeStruct((nh, d, da), jnp.float32),
+                   jax.ShapeDtypeStruct((nh * da, d), jnp.float32),
+                   jax.ShapeDtypeStruct((nh, n, n), jnp.float32)],
+        interpret=interpret,
+    )(*args)
+
+
 def _xla_layer(tok, p, bias, mask, use_pallas):
     from .attention import ffn_tokens, mha_tokens
 
@@ -284,16 +437,60 @@ def _fused_layer_ad(masked: bool):
 
     def bwd(res, g):
         tok, x2, p, bias = res
-        dx2, dw1, db1, dw2, db2, dls, dlb = ffn_half_bwd_pallas(
+        dx2, dw1, db1, dw2, db2, dls2, dlb2 = ffn_half_bwd_pallas(
             x2, g, p, interpret=_FORCE_INTERPRET)
+        na = p.wq.shape[0]
+        dx2_io = dx2.astype(g.dtype)
+        if na % 2 == 0:
+            # fused attention-half backward, split over two head groups
+            # (each call's accumulator set fits v5e VMEM)
+            half = na // 2
+            mask = _mask(tok.shape[1])
+            o0 = attn_half_bwd_pallas(tok, dx2_io, p, bias, mask, 0, half,
+                                      interpret=_FORCE_INTERPRET)
+            o1 = attn_half_bwd_pallas(tok, dx2_io, p, bias, mask, half, na,
+                                      interpret=_FORCE_INTERPRET)
+            dy = o0[0] + o1[0]  # (nb, n, d) fp32
+            dt = p.wq.dtype
+            dwq = jnp.concatenate([o0[1], o1[1]]).astype(dt)
+            dwk = jnp.concatenate([o0[2], o1[2]]).astype(dt)
+            dwv = jnp.concatenate([o0[3], o1[3]]).astype(dt)
+            dproj = jnp.concatenate([o0[4], o1[4]]).astype(p.proj.dtype)
+            dbias = jnp.concatenate([o0[5], o1[5]]).astype(bias.dtype)
+
+            # LN backward over the summed dy + the residual path (XLA —
+            # one elementwise fusion)
+            x32 = tok.astype(jnp.float32)
+            mu = jnp.mean(x32, axis=-1, keepdims=True)
+            var = jnp.var(x32, axis=-1, keepdims=True)
+            r = jax.lax.rsqrt(var + 1e-5)
+            yhat = (x32 - mu) * r
+            dls1 = jnp.sum(dy * yhat, axis=(0, 1)).astype(p.ln_scale.dtype)
+            dlb1 = jnp.sum(dy, axis=(0, 1)).astype(p.ln_bias.dtype)
+            dyh = dy * p.ln_scale.astype(jnp.float32)
+            m1 = jnp.mean(dyh, axis=-1, keepdims=True)
+            m2 = jnp.mean(dyh * yhat, axis=-1, keepdims=True)
+            dtok = (r * (dyh - m1 - yhat * m2)
+                    + dx2.astype(jnp.float32)).astype(tok.dtype)
+            dp = p._replace(
+                ln_scale=dls1, ln_bias=dlb1, wq=dwq, wk=dwk, wv=dwv,
+                proj=dproj, ffn_w1=dw1, ffn_b1=db1, ffn_w2=dw2, ffn_b2=db2,
+                ffn_ln_scale=dls2, ffn_ln_bias=dlb2,
+                dt_bank=jnp.zeros_like(p.dt_bank),
+                dh_bank=jnp.zeros_like(p.dh_bank),
+                dw_bank=jnp.zeros_like(p.dw_bank))
+            return dtok, dp, dbias
+
+        # odd head counts: XLA vjp of the attention half
         use_pallas = False if _FORCE_INTERPRET else None
         _, vjp = jax.vjp(
             lambda t_, p_, b_: mha_tokens(t_, p_, b_, _mask(tok.shape[1]),
                                           use_pallas=use_pallas),
             tok, p, bias)
-        dtok, dp_attn, dbias = vjp(dx2.astype(g.dtype))
+        dtok, dp_attn, dbias = vjp(dx2_io)
         dp = dp_attn._replace(ffn_w1=dw1, ffn_b1=db1, ffn_w2=dw2,
-                              ffn_b2=db2, ffn_ln_scale=dls, ffn_ln_bias=dlb)
+                              ffn_b2=db2, ffn_ln_scale=dls2,
+                              ffn_ln_bias=dlb2)
         return dtok, dp, dbias
 
     f.defvjp(fwd, bwd)

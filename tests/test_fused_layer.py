@@ -81,11 +81,12 @@ def test_ffn_half_bwd_matches_xla_vjp(rng):
                                    rtol=2e-4, atol=2e-4, err_msg=name)
 
 
-@pytest.mark.parametrize("masked", [False, True])
-def test_fused_layer_grads_match_xla_layer(rng, masked):
-    """End-to-end custom_vjp (fused fwd + FFN-half kernel + attention XLA
-    vjp) vs autodiff through the unfused XLA layer."""
-    na, d, da = 2, 32, 16
+@pytest.mark.parametrize("masked,na", [(False, 2), (True, 2), (True, 4)])
+def test_fused_layer_grads_match_xla_layer(rng, masked, na):
+    """End-to-end custom_vjp (fused fwd + FFN-half kernel + split
+    attention-half kernels) vs autodiff through the unfused XLA layer.
+    na=4 exercises multi-head halves in attn_half_bwd_pallas."""
+    d, da = 32, 16
     block = (1, 4, 4)
     n = 16
     p = _layer_params(rng, na, d, da, block)
