@@ -388,7 +388,10 @@ def attn_half_bwd_pallas(x, dx2, p, bias, mask: Optional[np.ndarray],
         out_specs=[tile, const((nh, d, da)), const((nh, d, da)),
                    const((nh, d, da)), const((nh * da, d)),
                    const((nh, n, n))],
-        out_shape=[jax.ShapeDtypeStruct((nb, n, d), jnp.float32),
+        # dy partial in the io dtype: halves 2 x (nb, n, d) of HBM traffic
+        # per layer; the fp32-accumulated per-head sums round once on store
+        # (exact for fp32 io, bf16-noise-level in training)
+        out_shape=[jax.ShapeDtypeStruct((nb, n, d), x.dtype),
                    jax.ShapeDtypeStruct((nh, d, da), jnp.float32),
                    jax.ShapeDtypeStruct((nh, d, da), jnp.float32),
                    jax.ShapeDtypeStruct((nh, d, da), jnp.float32),
@@ -450,7 +453,7 @@ def _fused_layer_ad(masked: bool):
                                       interpret=_FORCE_INTERPRET)
             o1 = attn_half_bwd_pallas(tok, dx2_io, p, bias, mask, half, na,
                                       interpret=_FORCE_INTERPRET)
-            dy = o0[0] + o1[0]  # (nb, n, d) fp32
+            dy = o0[0].astype(jnp.float32) + o1[0].astype(jnp.float32)
             dt = p.wq.dtype
             dwq = jnp.concatenate([o0[1], o1[1]]).astype(dt)
             dwk = jnp.concatenate([o0[2], o1[2]]).astype(dt)
