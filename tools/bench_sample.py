@@ -32,6 +32,8 @@ def main():
                    "(0 = heuristic max(64, block_run//4); capped at the "
                    "block run length)")
     p.add_argument("--dtype", default="bfloat16")
+    p.add_argument("--trace", default="", help="capture a profiler trace of "
+                   "one timed iteration into this directory")
     args = p.parse_args()
 
     import jax
@@ -62,6 +64,12 @@ def main():
         kv_seg_size=args.seg, weight_dtype=args.weights))
     key = jax.random.key(7)
     fn(video, key).block_until_ready()  # compile
+
+    if args.trace:
+        jax.profiler.start_trace(args.trace)
+        out = fn(video, jax.random.fold_in(key, 99))
+        _ = int(np.asarray(out[0, 0, -1, 0, 0]))
+        jax.profiler.stop_trace()
 
     times = []
     for i in range(args.iters):
