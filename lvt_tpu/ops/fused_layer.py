@@ -32,6 +32,20 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def _wqkv_flat(wq, wk, wv):
+    """(na, d, da) x3 -> (d, 3*na*da), columns [q heads | k heads | v heads].
+
+    One wide MXU operand instead of 3*na per-head (d, da) dots: the
+    per-head dots have a single 128-lane output tile each and pipeline
+    poorly; the fused dot's output is 3*na*da lanes wide. The transpose
+    costs one small XLA copy per layer call (~3 MB bf16 at DSFVT),
+    measured well under the MXU time it buys back.
+    """
+    na, d, da = wq.shape
+    flat = lambda w: w.transpose(1, 0, 2).reshape(d, na * da)
+    return jnp.concatenate([flat(wq), flat(wk), flat(wv)], axis=1)
+
+
 def fused_layer_tokens_pallas(tok, p, bias, mask: Optional[np.ndarray], *,
                               with_x2: bool = False,
                               interpret: bool = False):
@@ -54,11 +68,11 @@ def fused_layer_tokens_pallas(tok, p, bias, mask: Optional[np.ndarray], *,
         if with_x2:
             *refs, x2_ref = refs
         if mask_arr is not None:
-            (x_ref, lns_ref, lnb_ref, wq_ref, wk_ref, wv_ref, proj_ref,
+            (x_ref, lns_ref, lnb_ref, wqkv_ref, proj_ref,
              flns_ref, flnb_ref, w1_ref, b1_ref, w2_ref, b2_ref, bias_ref,
              m_ref, o_ref) = refs
         else:
-            (x_ref, lns_ref, lnb_ref, wq_ref, wk_ref, wv_ref, proj_ref,
+            (x_ref, lns_ref, lnb_ref, wqkv_ref, proj_ref,
              flns_ref, flnb_ref, w1_ref, b1_ref, w2_ref, b2_ref, bias_ref,
              o_ref) = refs
         io_dt = x_ref.dtype
@@ -76,25 +90,30 @@ def fused_layer_tokens_pallas(tok, p, bias, mask: Optional[np.ndarray], *,
         x = x_ref[0].astype(jnp.float32)  # (n, d)
         y = ln(x, lns_ref, lnb_ref).astype(io_dt)
 
-        # attention: per-head QKV (n,d)@(d,da), softmax, PV, row-sliced proj
-        acc = jnp.zeros((n, d), jnp.float32)
+        # attention: one wide QKV dot, per-head softmax, one wide proj dot.
+        # Mosaic requires fp32 matmul accumulators (bf16
+        # preferred_element_type fails verification on v5e); rounding the
+        # fp32 result to io on store matches the old q.astype(io) exactly.
+        qkv = jnp.dot(y, wqkv_ref[...],
+                      preferred_element_type=jnp.float32).astype(io_dt)
+        os = []
         for a in range(na):
-            q = jnp.dot(y, wq_ref[a], preferred_element_type=jnp.float32)
-            k = jnp.dot(y, wk_ref[a], preferred_element_type=jnp.float32)
-            v = jnp.dot(y, wv_ref[a], preferred_element_type=jnp.float32)
+            q = qkv[:, a * da:(a + 1) * da]
+            k = qkv[:, (na + a) * da:(na + a + 1) * da]
+            v = qkv[:, (2 * na + a) * da:(2 * na + a + 1) * da]
             s = jax.lax.dot_general(
-                q.astype(io_dt), k.astype(io_dt),
-                dimension_numbers=(((1,), (1,)), ((), ())),
+                q, k, dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32) * scale
             s = s + bias_ref[a].astype(jnp.float32)
             if mask_arr is not None:
                 s = jnp.where(m_ref[0], jnp.float32(-1e4), s)
             prob = jax.nn.softmax(s, axis=-1)
-            o = jnp.dot(prob.astype(io_dt), v.astype(io_dt),
-                        preferred_element_type=jnp.float32)  # (n, da)
-            acc = acc + jnp.dot(
-                o.astype(io_dt), proj_ref[a * da:(a + 1) * da, :],
-                preferred_element_type=jnp.float32)
+            os.append(jnp.dot(prob.astype(io_dt), v,
+                              preferred_element_type=jnp.float32)
+                      .astype(io_dt))  # (n, da)
+        o_all = jnp.concatenate(os, axis=1)  # (n, na*da)
+        acc = jnp.dot(o_all, proj_ref[...],
+                      preferred_element_type=jnp.float32)
         x2 = acc + x  # residual, fp32
         if with_x2:
             x2_ref[0] = x2.astype(x2_ref.dtype)
@@ -113,13 +132,14 @@ def fused_layer_tokens_pallas(tok, p, bias, mask: Optional[np.ndarray], *,
     in_specs = [
         pl.BlockSpec((1, n, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         const((1, d)), const((1, d)),
-        const((na, d, da)), const((na, d, da)), const((na, d, da)),
+        const((d, 3 * na * da)),
         const((na * da, d)),
         const((1, d)), const((1, d)),
         const((d, d)), const((1, d)), const((d, d)), const((1, d)),
         const((na, n, n)),
     ]
-    args = [tok, row(p.ln_scale), row(p.ln_bias), p.wq, p.wk, p.wv, p.proj,
+    args = [tok, row(p.ln_scale), row(p.ln_bias),
+            _wqkv_flat(p.wq, p.wk, p.wv), p.proj,
             row(p.ffn_ln_scale), row(p.ffn_ln_bias), p.ffn_w1, row(p.ffn_b1),
             p.ffn_w2, row(p.ffn_b2), bias]
     if mask_arr is not None:
