@@ -276,13 +276,21 @@ def attn_half_bwd_pallas(x, dx2, p, bias, mask: Optional[np.ndarray],
       dy_part  (nb, n, d)  — sum over these heads of dq wq^T + dk wk^T +
                              dv wv^T (LN backward is applied by the caller
                              on the total dy)
-      dwq/dwk/dwv ((h1-h0), d, da) fp32, dproj ((h1-h0)*da, d) fp32,
-      dbias ((h1-h0), n, n) fp32 — grid-accumulated in VMEM.
+      dwqkv    (d, 3*nh*da) fp32 — flat [q heads | k heads | v heads]
+                             columns (the _wqkv_flat layout); caller
+                             unflattens to per-head (nh, d, da) trees
+      dproj ((h1-h0)*da, d) fp32, dbias ((h1-h0), n, n) fp32
+      — all grid-accumulated in VMEM.
 
-    Split by heads because the full-na accumulator set (dwq/dwk/dwv 6.3 MB
+    Split by heads because the full-na accumulator set (dwqkv 6.3 MB
     + dproj 2.1 + dbias 2.1 fp32) plus weights and score scratch exceeds
     v5e's ~16 MB VMEM; at na/2 heads per call everything fits with room
     for double buffering.
+
+    All GEMMs whose output is a single 128-lane tile per head (QKV
+    recompute, do, dy, weight-grad accumulations) are batched across heads
+    into wide dots — same trick as the forward kernel; only the
+    block-diagonal score-space dots (s, dp, dv, dq, dk) stay per-head.
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -296,20 +304,18 @@ def attn_half_bwd_pallas(x, dx2, p, bias, mask: Optional[np.ndarray],
 
     def kernel(*refs):
         if mask_arr is not None:
-            (x_ref, g_ref, lns_ref, lnb_ref, wq_ref, wk_ref, wv_ref,
-             proj_ref, bias_ref, m_ref, dy_ref, dwq_ref, dwk_ref, dwv_ref,
+            (x_ref, g_ref, lns_ref, lnb_ref, wqkv_ref,
+             proj_ref, bias_ref, m_ref, dy_ref, dwqkv_ref,
              dproj_ref, dbias_ref) = refs
         else:
-            (x_ref, g_ref, lns_ref, lnb_ref, wq_ref, wk_ref, wv_ref,
-             proj_ref, bias_ref, dy_ref, dwq_ref, dwk_ref, dwv_ref,
+            (x_ref, g_ref, lns_ref, lnb_ref, wqkv_ref,
+             proj_ref, bias_ref, dy_ref, dwqkv_ref,
              dproj_ref, dbias_ref) = refs
         io_dt = x_ref.dtype
 
         @pl.when(pl.program_id(0) == 0)
         def _init():
-            dwq_ref[...] = jnp.zeros_like(dwq_ref)
-            dwk_ref[...] = jnp.zeros_like(dwk_ref)
-            dwv_ref[...] = jnp.zeros_like(dwv_ref)
+            dwqkv_ref[...] = jnp.zeros_like(dwqkv_ref)
             dproj_ref[...] = jnp.zeros_like(dproj_ref)
             dbias_ref[...] = jnp.zeros_like(dbias_ref)
 
@@ -321,13 +327,17 @@ def attn_half_bwd_pallas(x, dx2, p, bias, mask: Optional[np.ndarray],
              + lnb_ref[...].astype(jnp.float32)).astype(io_dt)
         dacc = g_ref[0]  # (n, d), io dtype
 
-        dy = jnp.zeros((n, d), jnp.float32)
+        qkv = jnp.dot(y, wqkv_ref[...],
+                      preferred_element_type=jnp.float32).astype(io_dt)
+        do_all = jax.lax.dot_general(  # dacc @ proj^T, all heads at once
+            dacc, proj_ref[...], dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(io_dt)  # (n, nh*da)
+
+        os, dqs, dks, dvs = [], [], [], []
         for a in range(nh):
-            q = jnp.dot(y, wq_ref[a], preferred_element_type=jnp.float32)
-            k = jnp.dot(y, wk_ref[a], preferred_element_type=jnp.float32)
-            v = jnp.dot(y, wv_ref[a], preferred_element_type=jnp.float32)
-            q_io, k_io, v_io = (q.astype(io_dt), k.astype(io_dt),
-                                v.astype(io_dt))
+            q_io = qkv[:, a * da:(a + 1) * da]
+            k_io = qkv[:, (nh + a) * da:(nh + a + 1) * da]
+            v_io = qkv[:, (2 * nh + a) * da:(2 * nh + a + 1) * da]
             s = jax.lax.dot_general(
                 q_io, k_io, dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32) * scale
@@ -337,16 +347,10 @@ def attn_half_bwd_pallas(x, dx2, p, bias, mask: Optional[np.ndarray],
             prob = jax.nn.softmax(s, axis=-1)  # (n, n) fp32
             p_io = prob.astype(io_dt)
 
-            # o_a recompute for dproj; do_a = dacc @ proj_a^T
+            # o_a recompute for dproj
             o = jnp.dot(p_io, v_io, preferred_element_type=jnp.float32)
-            proj_a = proj_ref[a * da:(a + 1) * da, :]  # (da, d)
-            dproj_ref[a * da:(a + 1) * da, :] += jax.lax.dot_general(
-                o.astype(io_dt), dacc,
-                dimension_numbers=(((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            do = jax.lax.dot_general(  # (n, da)
-                dacc, proj_a, dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32).astype(io_dt)
+            os.append(o.astype(io_dt))
+            do = do_all[:, a * da:(a + 1) * da]
 
             dv = jax.lax.dot_general(  # p^T @ do
                 p_io, do, dimension_numbers=(((0,), (0,)), ((), ())),
@@ -364,27 +368,22 @@ def attn_half_bwd_pallas(x, dx2, p, bias, mask: Optional[np.ndarray],
             dk = jax.lax.dot_general(  # ds^T @ q
                 ds_io, q_io, dimension_numbers=(((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32) * scale
+            dqs.append(dq.astype(io_dt))
+            dks.append(dk.astype(io_dt))
+            dvs.append(dv.astype(io_dt))
 
-            dq_io, dk_io, dv_io = (dq.astype(io_dt), dk.astype(io_dt),
-                                   dv.astype(io_dt))
-            dwq_ref[a] += jax.lax.dot_general(  # y^T @ dq
-                y, dq_io, dimension_numbers=(((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            dwk_ref[a] += jax.lax.dot_general(
-                y, dk_io, dimension_numbers=(((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            dwv_ref[a] += jax.lax.dot_general(
-                y, dv_io, dimension_numbers=(((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            dy = dy + jax.lax.dot_general(  # dq @ wq^T + ...
-                dq_io, wq_ref[a], dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            dy = dy + jax.lax.dot_general(
-                dk_io, wk_ref[a], dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            dy = dy + jax.lax.dot_general(
-                dv_io, wv_ref[a], dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)
+        # wide weight-grad / dy dots over the concatenated head columns
+        o_all = jnp.concatenate(os, axis=1)  # (n, nh*da)
+        dproj_ref[...] += jax.lax.dot_general(  # o^T @ dacc
+            o_all, dacc, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dqkv = jnp.concatenate(dqs + dks + dvs, axis=1)  # (n, 3*nh*da)
+        dwqkv_ref[...] += jax.lax.dot_general(  # y^T @ dqkv
+            y, dqkv, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dy = jax.lax.dot_general(  # dq wq^T + dk wk^T + dv wv^T, one dot
+            dqkv, wqkv_ref[...], dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
         dy_ref[0] = dy.astype(dy_ref.dtype)
 
     const = lambda shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape),
@@ -392,10 +391,10 @@ def attn_half_bwd_pallas(x, dx2, p, bias, mask: Optional[np.ndarray],
     tile = pl.BlockSpec((1, n, d), lambda i: (i, 0, 0),
                         memory_space=pltpu.VMEM)
     in_specs = [tile, tile, const((1, d)), const((1, d)),
-                const((nh, d, da)), const((nh, d, da)), const((nh, d, da)),
+                const((d, 3 * nh * da)),
                 const((nh * da, d)), const((nh, n, n))]
     args = [x, dx2, row(p.ln_scale), row(p.ln_bias),
-            p.wq[h0:h1], p.wk[h0:h1], p.wv[h0:h1],
+            _wqkv_flat(p.wq[h0:h1], p.wk[h0:h1], p.wv[h0:h1]),
             p.proj[h0 * da:h1 * da], bias[h0:h1]]
     if mask_arr is not None:
         in_specs.append(const((1, n, n)))
@@ -405,20 +404,24 @@ def attn_half_bwd_pallas(x, dx2, p, bias, mask: Optional[np.ndarray],
         kernel,
         grid=(nb,),
         in_specs=in_specs,
-        out_specs=[tile, const((nh, d, da)), const((nh, d, da)),
-                   const((nh, d, da)), const((nh * da, d)),
-                   const((nh, n, n))],
+        out_specs=[tile, const((d, 3 * nh * da)),
+                   const((nh * da, d)), const((nh, n, n))],
         # dy partial in the io dtype: halves 2 x (nb, n, d) of HBM traffic
         # per layer; the fp32-accumulated per-head sums round once on store
         # (exact for fp32 io, bf16-noise-level in training)
         out_shape=[jax.ShapeDtypeStruct((nb, n, d), x.dtype),
-                   jax.ShapeDtypeStruct((nh, d, da), jnp.float32),
-                   jax.ShapeDtypeStruct((nh, d, da), jnp.float32),
-                   jax.ShapeDtypeStruct((nh, d, da), jnp.float32),
+                   jax.ShapeDtypeStruct((d, 3 * nh * da), jnp.float32),
                    jax.ShapeDtypeStruct((nh * da, d), jnp.float32),
                    jax.ShapeDtypeStruct((nh, n, n), jnp.float32)],
         interpret=interpret,
     )(*args)
+
+
+def _unflat_dwqkv(dwqkv, nh: int, da: int):
+    """Invert _wqkv_flat on a (d, 3*nh*da) grad: -> dwq/dwk/dwv (nh, d, da)."""
+    d = dwqkv.shape[0]
+    parts = dwqkv.reshape(d, 3, nh, da).transpose(1, 2, 0, 3)
+    return parts[0], parts[1], parts[2]
 
 
 def _xla_layer(tok, p, bias, mask, use_pallas):
@@ -475,11 +478,14 @@ def _fused_layer_ad(masked: bool):
                                       interpret=_FORCE_INTERPRET)
             dy = o0[0].astype(jnp.float32) + o1[0].astype(jnp.float32)
             dt = p.wq.dtype
-            dwq = jnp.concatenate([o0[1], o1[1]]).astype(dt)
-            dwk = jnp.concatenate([o0[2], o1[2]]).astype(dt)
-            dwv = jnp.concatenate([o0[3], o1[3]]).astype(dt)
-            dproj = jnp.concatenate([o0[4], o1[4]]).astype(p.proj.dtype)
-            dbias = jnp.concatenate([o0[5], o1[5]]).astype(bias.dtype)
+            da = p.wq.shape[2]
+            dwq0, dwk0, dwv0 = _unflat_dwqkv(o0[1], half, da)
+            dwq1, dwk1, dwv1 = _unflat_dwqkv(o1[1], na - half, da)
+            dwq = jnp.concatenate([dwq0, dwq1]).astype(dt)
+            dwk = jnp.concatenate([dwk0, dwk1]).astype(dt)
+            dwv = jnp.concatenate([dwv0, dwv1]).astype(dt)
+            dproj = jnp.concatenate([o0[2], o1[2]]).astype(p.proj.dtype)
+            dbias = jnp.concatenate([o0[3], o1[3]]).astype(bias.dtype)
 
             # LN backward over the summed dy + the residual path (XLA —
             # one elementwise fusion)
