@@ -35,6 +35,11 @@ def main():
                         help="sampling weight/activation dtype (softmax/logits stay fp32)")
     parser.add_argument("--weights", default="native", choices=["native", "int8"],
                         help="stream per-pixel decoder weights as int8")
+    parser.add_argument("--mm", default="native", choices=["native", "int8"],
+                        help="run the sampler's attention contractions as "
+                             "int8 x int8 MXU dots reading the cache bytes "
+                             "directly (requires --kv int8; skips the "
+                             "int8->bf16 cache dequant)")
     parser.add_argument("--kv", default="int8", choices=["native", "int8", "int4"],
                         help="KV-cache storage dtype in the sampler (int8 = "
                              "per-row absmax quantized caches, exact scale "
@@ -102,7 +107,8 @@ def main():
                                   incremental=not args.full_recompute,
                                   kv_cache_dtype=args.kv,
                                   kv_seg_size=args.seg,
-                                  weight_dtype=args.weights)
+                                  weight_dtype=args.weights,
+                                  mm_dtype=args.mm)
         idx = jnp.transpose(sampled, (0, 2, 3, 4, 1)).reshape(B * 16, 16, 16, vt.c.nc)
         out = vq.decode(vq_params, vq_state, idx)
         return jnp.clip(vq.denormalize(out), 0.0, 1.0)
@@ -178,6 +184,7 @@ def main():
             "dtype": args.dtype,
             "kv_cache": args.kv,
             "weights": args.weights,
+            "mm": args.mm,
             "seg": args.seg,
             "sampler": "full_recompute" if args.full_recompute else "kv_cache",
             "backend": jax.default_backend(),
@@ -225,7 +232,8 @@ def _probe_half_batch(args, jax, jnp, np, vt, vt_params, vq, vq_params,
                                   incremental=not args.full_recompute,
                                   kv_cache_dtype=args.kv,
                                   kv_seg_size=args.seg,
-                                  weight_dtype=args.weights)
+                                  weight_dtype=args.weights,
+                                  mm_dtype=args.mm)
         idx = jnp.transpose(sampled, (0, 2, 3, 4, 1)).reshape(
             B2 * 16, 16, 16, vt.c.nc)
         out = vq.decode(vq_params, vq_state, idx)

@@ -134,7 +134,8 @@ def sample_slice_incremental(params, c: VTConfig, slice_shape, zl, sl, key,
                              primed, temp, greedy: bool = False,
                              kv_dtype: str = "native",
                              seg_size: int = 0,
-                             weight_dtype: str = "native"):
+                             weight_dtype: str = "native",
+                             mm_dtype: str = "native"):
     """Exact AR sampling of one slice with cached decoder state.
 
     params: the netG tree; zl: (b, t, h, w, d) encoder output;
@@ -155,6 +156,18 @@ def sample_slice_incremental(params, c: VTConfig, slice_shape, zl, sl, key,
     int8 convert fuses into the attention contraction), XLA materializes
     the weight dequant for the (b, d) x (d, 3*na*da) matmuls, so traffic
     goes UP. Kept as a correct, tested option for future shapes/backends.
+
+    mm_dtype: "int8" (requires kv_dtype="int8") runs the attention
+    contractions as native int8 x int8 MXU dots instead of dequantizing the
+    cache to the compute dtype: q is absmax-quantized per (batch, head) and
+    the post-softmax weights (with the V scales folded in first) per
+    (batch, head) row, so the dots read the int8 cache bytes with NO
+    per-element convert — the dequant moves to the small (b, na, cl)
+    logits / (b, na, da) outputs. The int8->bf16 convert of the cache is
+    the co-bottleneck of the "int8" path (1 elem/lane/cycle ~= the HBM DMA
+    rate), so skipping it is the only lever past that bound. Extra
+    rounding: q and folded weights at int8 (~0.4% rel), on top of the K/V
+    rounding the int8 cache already has.
     """
     if kv_dtype not in ("native", "int8", "int4"):
         raise ValueError(
@@ -162,7 +175,14 @@ def sample_slice_incremental(params, c: VTConfig, slice_shape, zl, sl, key,
     if weight_dtype not in ("native", "int8"):
         raise ValueError(
             f"weight_dtype must be 'native' or 'int8', got {weight_dtype!r}")
+    if mm_dtype not in ("native", "int8"):
+        raise ValueError(
+            f"mm_dtype must be 'native' or 'int8', got {mm_dtype!r}")
+    if mm_dtype == "int8" and kv_dtype != "int8":
+        raise ValueError("mm_dtype='int8' requires kv_dtype='int8' "
+                         "(the dots read the int8 cache bytes directly)")
     use_int8 = kv_dtype in ("int8", "int4")
+    int8_mm = mm_dtype == "int8"
     # int4: same per-row absmax scheme at 15 levels; storage is jnp.int4 so
     # the cache reads halve again vs int8. Opt-in — rounding error is ~16x
     # int8's; greedy-agreement is unit-tested but expect distributional drift.
@@ -296,8 +316,21 @@ def sample_slice_incremental(params, c: VTConfig, slice_shape, zl, sl, key,
             kc = new_k[l]
             vc = new_v[l]
 
-            logits = jnp.einsum("bak,bajk->baj", q, kc.astype(cdtype),
-                                preferred_element_type=jnp.float32) / np.sqrt(da)
+            if int8_mm:
+                # native int8 x int8 MXU dot: quantize q per (b, head) so
+                # the cache bytes feed the MXU unconverted; dequant on the
+                # small logits instead of the big cache
+                sq = jnp.max(jnp.abs(q), axis=-1, keepdims=True) / 127.0
+                qi = jnp.clip(jnp.round(q / (sq + 1e-8)),
+                              -127.0, 127.0).astype(jnp.int8)
+                logits = jnp.einsum(
+                    "bak,bajk->baj", qi, kc,
+                    preferred_element_type=jnp.int32).astype(jnp.float32)
+                logits = logits * (sq.astype(jnp.float32) / np.sqrt(da))
+            else:
+                logits = jnp.einsum(
+                    "bak,bajk->baj", q, kc.astype(cdtype),
+                    preferred_element_type=jnp.float32) / np.sqrt(da)
             if use_int8:
                 logits = logits * new_ks[l].astype(jnp.float32)
             # bias row p (see bias_tabs above): direct table row in
@@ -319,7 +352,19 @@ def sample_slice_incremental(params, c: VTConfig, slice_shape, zl, sl, key,
             wgt = jax.nn.softmax(logits, axis=-1).astype(cdtype)
             if use_int8:
                 wgt = wgt * new_vs[l]  # fold V scales into the weights
-            out = jnp.einsum("baj,bajk->bak", wgt, vc.astype(cdtype)).reshape(b, na * da)
+            if int8_mm:
+                # fold the V scales in FIRST (above), then quantize the
+                # weight row per (b, head): sum_j w'_int_j V_int_j * sw
+                sw = jnp.max(jnp.abs(wgt), axis=-1, keepdims=True)
+                sw = (sw / 127.0).astype(cdtype)
+                wi = jnp.clip(jnp.round(wgt / (sw + 1e-8)),
+                              -127.0, 127.0).astype(jnp.int8)
+                out = jnp.einsum("baj,bajk->bak", wi, vc,
+                                 preferred_element_type=jnp.int32)
+                out = (out.astype(cdtype) * sw).reshape(b, na * da)
+            else:
+                out = jnp.einsum("baj,bajk->bak", wgt,
+                                 vc.astype(cdtype)).reshape(b, na * da)
             x = _mm(out, proj_q[l] if use_int8_w else lp.proj) + x
             # FFN at p
             yf = _layer_norm(x, lp.ffn_ln_scale, lp.ffn_ln_bias)

@@ -162,15 +162,18 @@ def test_quantize_cols_fold_is_exact(rng):
                                np.asarray(y @ deq), rtol=1e-5, atol=1e-5)
 
 
-@pytest.mark.parametrize("kv,weights", [("int8", "native"),
-                                        ("native", "int8"),
-                                        ("int8", "int8"),
-                                        ("int4", "native")])
-def test_int8_modes_track_native_greedy(rng, kv, weights):
-    """int8 KV caches / int8 streamed weights are perf knobs whose only
-    deviation is int8 rounding: greedy samples must agree with the native
-    path at >= 90% of positions on a tiny model (bit-exactness is not
-    guaranteed — argmax can flip where two logits are within rounding)."""
+@pytest.mark.parametrize("kv,weights,mm", [("int8", "native", "native"),
+                                           ("native", "int8", "native"),
+                                           ("int8", "int8", "native"),
+                                           ("int4", "native", "native"),
+                                           ("int8", "native", "int8"),
+                                           ("int8", "int8", "int8")])
+def test_int8_modes_track_native_greedy(rng, kv, weights, mm):
+    """int8 KV caches / int8 streamed weights / int8 MXU attention dots are
+    perf knobs whose only deviation is int8 rounding: greedy samples must
+    agree with the native path at >= 90% of positions on a tiny model
+    (bit-exactness is not guaranteed — argmax can flip where two logits are
+    within rounding)."""
     stride, kernel, blocks, THW = CASES[0]
     cfg = _cfg(stride, kernel, blocks)
     m = VideoTransformer(cfg, T=THW[0], H=THW[1], W=THW[2])
@@ -182,8 +185,23 @@ def test_int8_modes_track_native_greedy(rng, kv, weights):
                                      greedy=True))
     got = np.asarray(m.sample_video(params, video, key, n_prime=1,
                                     greedy=True, kv_cache_dtype=kv,
-                                    weight_dtype=weights))
+                                    weight_dtype=weights, mm_dtype=mm))
     assert got.shape == base.shape and got.min() >= 0 and got.max() < m.c.nv
     agree = float((got == base).mean())
     floor = 0.75 if kv == "int4" else 0.90  # int4 rounding is 16x coarser
-    assert agree >= floor, f"greedy agreement {agree:.3f} with kv={kv}, w={weights}"
+    assert agree >= floor, (
+        f"greedy agreement {agree:.3f} with kv={kv}, w={weights}, mm={mm}")
+
+
+def test_int8_mm_requires_int8_kv(rng):
+    """mm_dtype='int8' reads the int8 cache bytes directly — any other
+    kv_dtype must raise, not silently fall back."""
+    stride, kernel, blocks, THW = CASES[0]
+    cfg = _cfg(stride, kernel, blocks)
+    m = VideoTransformer(cfg, T=THW[0], H=THW[1], W=THW[2])
+    params, _ = m.init(jax.random.key(0))
+    video = jnp.asarray(
+        rng.integers(0, m.c.nv, size=(2, m.c.nc, *THW)), jnp.int32)
+    with pytest.raises(ValueError, match="mm_dtype"):
+        m.sample_video(params, video, jax.random.key(0), n_prime=1,
+                       greedy=True, kv_cache_dtype="native", mm_dtype="int8")

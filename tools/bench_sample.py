@@ -28,6 +28,9 @@ def main():
     p.add_argument("--weights", default="native", choices=["native", "int8"],
                    help="stream per-pixel decoder weights as int8 "
                         "(per-column scales folded exactly)")
+    p.add_argument("--mm", default="native", choices=["native", "int8"],
+                   help="run attention contractions as int8 x int8 MXU dots "
+                        "(requires --kv int8; skips the cache dequant)")
     p.add_argument("--seg", type=int, default=0, help="cache segment size "
                    "(0 = heuristic max(64, block_run//4); capped at the "
                    "block run length)")
@@ -61,7 +64,7 @@ def main():
 
     fn = jax.jit(lambda v, k: model.sample_video(
         params, v, k, n_prime=n_prime, kv_cache_dtype=args.kv,
-        kv_seg_size=args.seg, weight_dtype=args.weights))
+        kv_seg_size=args.seg, weight_dtype=args.weights, mm_dtype=args.mm))
     key = jax.random.key(7)
     fn(video, key).block_until_ready()  # compile
 
@@ -81,7 +84,7 @@ def main():
     fps = B * (T - n_prime) / med
     print(json.dumps({
         "config": os.path.basename(args.config),
-        "batch": B, "kv": args.kv, "seg": args.seg,
+        "batch": B, "kv": args.kv, "seg": args.seg, "mm": args.mm,
         "n_prime": n_prime,
         "seconds_median": round(med, 3),
         "seconds_min": round(min(times), 3),
