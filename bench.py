@@ -35,6 +35,10 @@ def main():
                         help="sampling weight/activation dtype (softmax/logits stay fp32)")
     parser.add_argument("--weights", default="native", choices=["native", "int8"],
                         help="stream per-pixel decoder weights as int8")
+    parser.add_argument("--attn", default="xla", choices=["xla", "pallas"],
+                        help="per-pixel attention impl: 'pallas' = fused-"
+                             "lane int8 decode kernel with native int8 MXU "
+                             "dots (requires --kv int8; supersedes --mm)")
     parser.add_argument("--mm", default="native", choices=["native", "int8"],
                         help="run the sampler's attention contractions as "
                              "int8 x int8 MXU dots reading the cache bytes "
@@ -115,7 +119,8 @@ def main():
                                   kv_cache_dtype=args.kv,
                                   kv_seg_size=args.seg,
                                   weight_dtype=args.weights,
-                                  mm_dtype=args.mm)
+                                  mm_dtype=args.mm,
+                                  attn_impl=args.attn)
         idx = jnp.transpose(sampled, (0, 2, 3, 4, 1)).reshape(B * 16, 16, 16, vt.c.nc)
         out = vq.decode(vq_params, vq_state, idx)
         return jnp.clip(vq.denormalize(out), 0.0, 1.0)
@@ -192,6 +197,7 @@ def main():
             "kv_cache": args.kv,
             "weights": args.weights,
             "mm": args.mm,
+            "attn": args.attn,
             "seg": args.seg,
             "sampler": "full_recompute" if args.full_recompute else "kv_cache",
             "backend": jax.default_backend(),
@@ -242,7 +248,8 @@ def _probe_half_batch(args, jax, jnp, np, vt, vt_params, vq, vq_params,
                                   kv_cache_dtype=args.kv,
                                   kv_seg_size=args.seg,
                                   weight_dtype=args.weights,
-                                  mm_dtype=args.mm)
+                                  mm_dtype=args.mm,
+                                  attn_impl=args.attn)
         idx = jnp.transpose(sampled, (0, 2, 3, 4, 1)).reshape(
             B2 * 16, 16, 16, vt.c.nc)
         out = vq.decode(vq_params, vq_state, idx)

@@ -553,7 +553,8 @@ class VideoTransformer:
                      n_prime: Optional[int] = None, class_idx=None,
                      incremental: bool = True, greedy: bool = False,
                      kv_cache_dtype: str = "native", kv_seg_size: int = 0,
-                     weight_dtype: str = "native", mm_dtype: str = "native"):
+                     weight_dtype: str = "native", mm_dtype: str = "native",
+                     attn_impl: str = "xla"):
         """AR-sample all non-primed positions (reference sample_video,
         vt.py:82-136) as a scan over slices x pixels, jit-compatible.
 
@@ -592,7 +593,7 @@ class VideoTransformer:
                         params["netG"], c, plan.slice_shape, zl, sl, key,
                         primed, temp, greedy=greedy, kv_dtype=kv_cache_dtype,
                         seg_size=kv_seg_size, weight_dtype=weight_dtype,
-                        mm_dtype=mm_dtype)
+                        mm_dtype=mm_dtype, attn_impl=attn_impl)
                 return self._sample_slice_pixels(params, zl, sl, key, primed,
                                                  temp, greedy=greedy)
 

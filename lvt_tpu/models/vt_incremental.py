@@ -27,6 +27,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.attention import BlockAttnParams, relative_bias
+from ..ops.cache_attention import (blockdiag_expand_i8,
+                                   decode_attention_i8_pallas)
 from ..ops.posenc import _signal_np
 from .vt import VTConfig, _layer_norm, vt_sample_pixel_channels
 
@@ -107,8 +109,9 @@ def posenc_rows(slice_shape: Tuple[int, int, int], d: int) -> np.ndarray:
 class SliceCarry(NamedTuple):
     sl: jnp.ndarray  # (b, nc, thw) current codes
     emb: jnp.ndarray  # (b, thw, de) summed channel embeddings of final codes
-    kcaches: jnp.ndarray  # (L, b, na, thw, da) stacked per-layer K cache
-    vcaches: jnp.ndarray  # (L, b, na, thw, da)
+    kcaches: jnp.ndarray  # (L, b, na, thw, da) stacked per-layer K cache;
+    #                       fused-lane (L, b, thw, na*da) under attn_impl='pallas'
+    vcaches: jnp.ndarray  # same layout as kcaches
     kscales: jnp.ndarray  # (L, b, na, thw) per-row K scales (int8 mode; dummy otherwise)
     vscales: jnp.ndarray  # (L, b, na, thw)
     key: jnp.ndarray
@@ -135,7 +138,8 @@ def sample_slice_incremental(params, c: VTConfig, slice_shape, zl, sl, key,
                              kv_dtype: str = "native",
                              seg_size: int = 0,
                              weight_dtype: str = "native",
-                             mm_dtype: str = "native"):
+                             mm_dtype: str = "native",
+                             attn_impl: str = "xla"):
     """Exact AR sampling of one slice with cached decoder state.
 
     params: the netG tree; zl: (b, t, h, w, d) encoder output;
@@ -168,6 +172,13 @@ def sample_slice_incremental(params, c: VTConfig, slice_shape, zl, sl, key,
     rate), so skipping it is the only lever past that bound. Extra
     rounding: q and folded weights at int8 (~0.4% rel), on top of the K/V
     rounding the int8 cache already has.
+
+    attn_impl: "pallas" (requires kv_dtype="int8") runs the per-pixel
+    attention as the Pallas decode kernel in ops/cache_attention.py —
+    fused-lane (b, cl, na*da) int8 caches, block-diagonal q, native
+    int8 x int8 MXU dots. Same rounding behavior as mm_dtype="int8"
+    (which it supersedes when active). "xla" (default) keeps the einsum
+    formulation on the (b, na, cl, da) layout.
     """
     if kv_dtype not in ("native", "int8", "int4"):
         raise ValueError(
@@ -181,8 +192,21 @@ def sample_slice_incremental(params, c: VTConfig, slice_shape, zl, sl, key,
     if mm_dtype == "int8" and kv_dtype != "int8":
         raise ValueError("mm_dtype='int8' requires kv_dtype='int8' "
                          "(the dots read the int8 cache bytes directly)")
+    if attn_impl not in ("xla", "pallas"):
+        raise ValueError(
+            f"attn_impl must be 'xla' or 'pallas', got {attn_impl!r}")
+    if attn_impl == "pallas" and kv_dtype != "int8":
+        raise ValueError("attn_impl='pallas' requires kv_dtype='int8' "
+                         "(the decode kernel runs native int8 MXU dots "
+                         "over the fused-lane int8 caches)")
     use_int8 = kv_dtype in ("int8", "int4")
     int8_mm = mm_dtype == "int8"
+    # Pallas decode kernel: fused-lane (b, cl, na*da) int8 caches + native
+    # int8 x int8 MXU dots. Implies the mm_dtype='int8' rounding (q and the
+    # scale-folded softmax weights are absmax-quantized per (batch, head));
+    # see ops/cache_attention.py for why this is the only formulation with
+    # HBM headroom past the VPU's ~120 GB/s int8 convert bound.
+    pallas_attn = attn_impl == "pallas"
     # int4: same per-row absmax scheme at 15 levels; storage is jnp.int4 so
     # the cache reads halve again vs int8. Opt-in — rounding error is ~16x
     # int8's; greedy-agreement is unit-tested but expect distributional drift.
@@ -277,12 +301,26 @@ def sample_slice_incremental(params, c: VTConfig, slice_shape, zl, sl, key,
             return (y @ wi.astype(cdtype)) * s
         return y @ w
 
+    def _bias_row(l, p, p_loc, cache_len):
+        """Layer l's bias row for pixel p vs cache rows [0, cache_len):
+        (na, cache_len) f32. Value = Bl[a, rel[p], rel[j]] within p's
+        attention block, -1e9 across blocks; identical floats on the
+        direct-table and factored paths (see bias_tabs above)."""
+        Bl, rel_j, bid_j, rel_np_l, bid_np_l = bias_tabs[l]
+        if rel_j is None:
+            return jnp.take(Bl, p_loc, axis=1)[:, :cache_len]
+        Bp = jnp.take(Bl, rel_j[p], axis=1)  # (na, n_b) dynamic slice
+        row = Bp[:, rel_np_l[:cache_len]]  # const-index gather
+        return jnp.where(
+            jnp.asarray(bid_np_l[:cache_len]) == bid_j[p], row,
+            jnp.float32(-1e9))
+
     def pixel_step(carry: SliceCarry, p):
         """One raster position. The K/V caches in `carry` hold at most
         blk_run rows (segmented growth below); position p reads and writes
         cache row p_loc = p mod blk_run — exact because p only attends
         within its contiguous attention block (see block-local notes)."""
-        cache_len = carry.kcaches.shape[3]
+        cache_len = carry.kcaches.shape[2 if pallas_attn else 3]
         p_loc = jax.lax.rem(p, jnp.int32(blk_run)) if block_local else p
         # causal conv at p: gather unmasked-tap neighbors (all strictly < p)
         rows = carry.emb[:, nbr[p]]  # (b, K', de); nbr -1 wraps to last row
@@ -311,10 +349,36 @@ def sample_slice_incremental(params, c: VTConfig, slice_shape, zl, sl, key,
                               -qmax, qmax).astype(kv_store)
                 new_ks = new_ks.at[l, :, :, p_loc].set(sk)
                 new_vs = new_vs.at[l, :, :, p_loc].set(sv)
-            new_k = new_k.at[l, :, :, p_loc].set(kk)
-            new_v = new_v.at[l, :, :, p_loc].set(vv)
+            if pallas_attn:
+                new_k = new_k.at[l, :, p_loc, :].set(kk.reshape(b, na * da))
+                new_v = new_v.at[l, :, p_loc, :].set(vv.reshape(b, na * da))
+            else:
+                new_k = new_k.at[l, :, :, p_loc].set(kk)
+                new_v = new_v.at[l, :, :, p_loc].set(vv)
             kc = new_k[l]
             vc = new_v[l]
+
+            if pallas_attn:
+                # bias row + causal mask, b-independent: (1, na, cl) f32
+                row = _bias_row(l, p, p_loc, cache_len)
+                extra = jnp.where(
+                    pos_iota[None, None, :cache_len] > p_loc,
+                    jnp.float32(-1e9), row[None])
+                sq = jnp.max(jnp.abs(q), axis=-1, keepdims=True) / 127.0
+                qi = jnp.clip(jnp.round(q / (sq + 1e-8)),
+                              -127.0, 127.0).astype(jnp.int8)
+                out = decode_attention_i8_pallas(
+                    blockdiag_expand_i8(qi), sq.astype(jnp.float32),
+                    kc, new_ks[l], vc, new_vs[l], extra,
+                    1.0 / np.sqrt(da), out_dtype=cdtype)  # (b, na*da)
+                x = _mm(out, proj_q[l] if use_int8_w else lp.proj) + x
+                yf = _layer_norm(x, lp.ffn_ln_scale, lp.ffn_ln_bias)
+                yf = jax.nn.relu(
+                    _mm(yf, ffn1_q[l] if use_int8_w else lp.ffn_w1)
+                    + lp.ffn_b1)
+                x = (_mm(yf, ffn2_q[l] if use_int8_w else lp.ffn_w2)
+                     + lp.ffn_b2 + x)
+                continue
 
             if int8_mm:
                 # native int8 x int8 MXU dot: quantize q per (b, head) so
@@ -333,19 +397,7 @@ def sample_slice_incremental(params, c: VTConfig, slice_shape, zl, sl, key,
                     preferred_element_type=jnp.float32) / np.sqrt(da)
             if use_int8:
                 logits = logits * new_ks[l].astype(jnp.float32)
-            # bias row p (see bias_tabs above): direct table row in
-            # block-local / slice-wide mode (p_loc == rid(p)), else rebuilt
-            # from the factored tables — value = Bl[a, rel[p], rel[j]]
-            # within p's block, -1e9 across; identical floats either way
-            Bl, rel_j, bid_j, rel_np_l, bid_np_l = bias_tabs[l]
-            if rel_j is None:
-                row = jnp.take(Bl, p_loc, axis=1)[:, :cache_len]  # (na, cl)
-            else:
-                Bp = jnp.take(Bl, rel_j[p], axis=1)  # (na, n_b) dyn. slice
-                row = Bp[:, rel_np_l[:cache_len]]  # const-index gather
-                row = jnp.where(
-                    jnp.asarray(bid_np_l[:cache_len]) == bid_j[p], row,
-                    jnp.float32(-1e9))
+            row = _bias_row(l, p, p_loc, cache_len)
             logits = logits + row[None]  # (b, na, cl)
             logits = jnp.where(pos_iota[None, None, :cache_len] > p_loc,
                                jnp.float32(-1e9), logits)
@@ -401,32 +453,46 @@ def sample_slice_incremental(params, c: VTConfig, slice_shape, zl, sl, key,
 
     kv_store = {"int8": jnp.int8, "int4": jnp.int4}.get(kv_dtype, cdtype)
     scale_len0 = bounds[0] if use_int8 else 1
+    # cache layout: (L, b, na, cl, da) for the XLA paths; fused-lane
+    # (L, b, cl, na*da) for the Pallas decode kernel (cl axis differs)
+    cax = 2 if pallas_attn else 3
+
+    def _cache_zeros(rows):
+        shape = ((L, b, rows, na * da) if pallas_attn
+                 else (L, b, na, rows, da))
+        return jnp.zeros(shape, kv_store)
+
     carry = SliceCarry(
         sl=sl_flat,
         emb=emb0.astype(cdtype),
-        kcaches=jnp.zeros((L, b, na, bounds[0], da), kv_store),
-        vcaches=jnp.zeros((L, b, na, bounds[0], da), kv_store),
+        kcaches=_cache_zeros(bounds[0]),
+        vcaches=_cache_zeros(bounds[0]),
         kscales=jnp.zeros((L, b, na, scale_len0), cdtype),
         vscales=jnp.zeros((L, b, na, scale_len0), cdtype),
         key=key,
     )
+
+    def _shrink(cache, rows):
+        return (cache[:, :, :rows] if pallas_attn
+                else cache[:, :, :, :rows])
+
     for base in range(0, thw, blk_run):
         if base > 0:
             # new block run: shrink buffers to the first segment length
             carry = carry._replace(
-                kcaches=carry.kcaches[:, :, :, :bounds[0]],
-                vcaches=carry.vcaches[:, :, :, :bounds[0]],
+                kcaches=_shrink(carry.kcaches, bounds[0]),
+                vcaches=_shrink(carry.vcaches, bounds[0]),
                 kscales=carry.kscales[:, :, :, :scale_len0],
                 vscales=carry.vscales[:, :, :, :scale_len0],
             )
         start = 0
         for end in bounds:
-            grow = end - carry.kcaches.shape[3]
+            grow = end - carry.kcaches.shape[cax]
             if grow > 0:
-                pad = jnp.zeros((L, b, na, grow, da), kv_store)
+                pad = _cache_zeros(grow)
                 carry = carry._replace(
-                    kcaches=jnp.concatenate([carry.kcaches, pad], axis=3),
-                    vcaches=jnp.concatenate([carry.vcaches, pad], axis=3),
+                    kcaches=jnp.concatenate([carry.kcaches, pad], axis=cax),
+                    vcaches=jnp.concatenate([carry.vcaches, pad], axis=cax),
                 )
                 if use_int8:
                     spad = jnp.zeros((L, b, na, grow), cdtype)

@@ -78,3 +78,138 @@ def cache_attention_pallas(q, k8, ks, v8, vs, extra, scale, *, interpret=False):
 # and this grid-(b,) kernel loses 2x to XLA's pipelining — the per-pixel
 # attention is latency-limited, not HBM-limited, at these shapes. Kept as a
 # documented experiment; the sampler stays on the XLA formulation.
+
+
+# --------------------------------------------------------------------------
+# Decode attention with native int8 MXU dots (round 3)
+# --------------------------------------------------------------------------
+#
+# Why a second kernel: every measured int8 cache-read path that CONVERTS the
+# cache elementwise tops out at ~100-120 GB/s on v5e — the VPU's int8->f32
+# convert runs at 1 element/lane/cycle, which IS that rate (128 lanes x 1 B
+# x ~0.94 GHz). XLA's batched cache dots (116 GB/s), a convert-then-bf16-dot
+# Pallas kernel (87 GB/s), and even a pure int8 reduce (76 GB/s) all sit on
+# this bound (tools/probe_layout3/4.py). The MXU, by contrast, ingests int8
+# operands natively at 2 elements/lane/cycle (v5e int8 peak is 2x bf16), so
+# a kernel whose big operands reach the MXU AS int8 — dequantizing only the
+# small (na, cl) logits / (na, d) outputs — is the only formulation with
+# headroom past ~120 GB/s.
+#
+# Layout: fused-lane caches (b, cl, d=na*da) so every dot runs the full 128
+# lanes; q is expanded block-diagonally (head a occupies lanes [a*da,
+# (a+1)*da)), which makes the per-head contraction one (na, d) @ (cl, d)^T
+# MXU dot whose cross-head terms are exactly zero. The V-side dot computes
+# (na, d) = w @ V with every head's weights applied to all lanes; the
+# block-diagonal mask + sublane-sum keeps each head's own da lanes.
+#
+# Math matches the shipped mm_dtype='int8' XLA path (vt_incremental.py):
+# same per-(b, head) q absmax quantization, same fold of the V scales into
+# the softmax weights before their per-row quantization.
+
+
+def decode_attention_i8_xla(qi_bd, sq, k4, ks, v4, vs, extra, scale):
+    """XLA reference for the fused-lane int8-dot formulation (CPU tests)."""
+    logits = jnp.einsum("bae,bje->baj", qi_bd.astype(jnp.int32),
+                        k4.astype(jnp.int32)).astype(jnp.float32)
+    logits = logits * (sq.astype(jnp.float32) * scale)
+    logits = logits * ks.astype(jnp.float32) + extra
+    w = jax.nn.softmax(logits, axis=-1) * vs.astype(jnp.float32)
+    sw = jnp.max(jnp.abs(w), axis=-1, keepdims=True) / 127.0
+    wi = jnp.clip(jnp.round(w / (sw + 1e-8)), -127.0, 127.0)
+    outf = jnp.einsum("baj,bje->bae", wi, v4.astype(jnp.float32)) * sw
+    na, d = qi_bd.shape[1], qi_bd.shape[2]
+    da = d // na
+    mask = (jax.lax.broadcasted_iota(jnp.int32, (na, d), 1) // da ==
+            jax.lax.broadcasted_iota(jnp.int32, (na, d), 0))
+    return (outf * mask[None]).sum(1)  # (b, d) f32
+
+
+def _pick_btile(b: int) -> int:
+    for t in (8, 4, 2):
+        if b % t == 0:
+            return t
+    return 1
+
+
+def decode_attention_i8_pallas(qi_bd, sq, k4, ks, v4, vs, extra, scale, *,
+                               out_dtype=jnp.bfloat16,
+                               btile: Optional[int] = None,
+                               interpret: Optional[bool] = None):
+    """One pixel's attention for one decoder layer, int8 end to end.
+
+    qi_bd (b, na, d) int8   block-diagonal quantized q
+    sq    (b, na, 1) f32    q row scales (absmax/127)
+    k4/v4 (b, cl, d) int8   fused-lane K/V caches
+    ks/vs (b, na, cl)       per-row cache scales (f32 or bf16)
+    extra (1, na, cl) f32   bias row + causal/-1e9 mask, b-independent
+    Returns (b, d) in out_dtype.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    b, na, d = qi_bd.shape
+    cl = k4.shape[1]
+    da = d // na
+    if btile is None:
+        btile = _pick_btile(b)
+
+    def kernel(q_ref, sq_ref, k_ref, ks_ref, v_ref, vs_ref, e_ref, o_ref):
+        lane = jax.lax.broadcasted_iota(jnp.int32, (na, d), 1)
+        row = jax.lax.broadcasted_iota(jnp.int32, (na, d), 0)
+        mask = (lane // da == row).astype(jnp.float32)
+        for i in range(btile):
+            logits_i = jax.lax.dot_general(
+                q_ref[i], k_ref[i],
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32)  # (na, cl)
+            logits = logits_i.astype(jnp.float32) * (
+                sq_ref[i].astype(jnp.float32) * scale)
+            logits = logits * ks_ref[i].astype(jnp.float32) + e_ref[0]
+            m = jnp.max(logits, axis=1, keepdims=True)
+            w = jnp.exp(logits - m)
+            w = w / jnp.sum(w, axis=1, keepdims=True)
+            w = w * vs_ref[i].astype(jnp.float32)
+            sw = jnp.max(jnp.abs(w), axis=1, keepdims=True) / 127.0
+            wi = jnp.clip(jnp.round(w / (sw + 1e-8)), -127.0, 127.0
+                          ).astype(jnp.int8)
+            out_i = jax.lax.dot_general(
+                wi, v_ref[i], dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)  # (na, d)
+            outf = out_i.astype(jnp.float32) * sw
+            o_ref[i] = jnp.sum(outf * mask, axis=0,
+                               keepdims=True).astype(o_ref.dtype)
+
+    return pl.pallas_call(
+        kernel,
+        grid=(b // btile,),
+        in_specs=[
+            pl.BlockSpec((btile, na, d), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((btile, na, 1), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((btile, cl, d), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((btile, na, cl), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((btile, cl, d), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((btile, na, cl), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, na, cl), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((btile, 1, d), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, 1, d), out_dtype),
+        interpret=interpret,
+    )(qi_bd, sq, k4, ks, v4, vs, extra).reshape(b, d)
+
+
+def blockdiag_expand_i8(qi):
+    """(b, na, da) int8 -> (b, na, na*da) int8 with head a's values in
+    lanes [a*da, (a+1)*da) of row a and zeros elsewhere."""
+    b, na, da = qi.shape
+    eye = jnp.eye(na, dtype=jnp.int8)
+    return (qi[:, :, None, :] * eye[None, :, :, None]).reshape(b, na, na * da)

@@ -20,3 +20,46 @@ def test_cache_attention_kernel_matches_xla(rng):
     got = np.asarray(cache_attention_pallas(q, k8, ks, v8, vs, extra, scale,
                                             interpret=True))
     np.testing.assert_allclose(got, ref, atol=1e-5)
+
+
+def test_decode_attention_i8_kernel_matches_xla(rng):
+    """The round-3 int8-MXU-dot decode kernel (fused-lane caches,
+    block-diagonal q) must match its XLA reference formulation exactly in
+    interpret mode — both run the identical int8 dot + f32 softmax math."""
+    from lvt_tpu.ops.cache_attention import (blockdiag_expand_i8,
+                                             decode_attention_i8_pallas,
+                                             decode_attention_i8_xla)
+
+    b, na, CL, da = 4, 2, 32, 16
+    d = na * da
+    qi = jnp.asarray(rng.integers(-127, 128, size=(b, na, da)).astype(np.int8))
+    qbd = blockdiag_expand_i8(qi)
+    # block-diagonal structure: row a occupies exactly lanes [a*da,(a+1)*da)
+    dense = np.zeros((b, na, d), np.int8)
+    for a in range(na):
+        dense[:, a, a * da:(a + 1) * da] = np.asarray(qi)[:, a]
+    np.testing.assert_array_equal(np.asarray(qbd), dense)
+
+    sq = jnp.asarray(np.abs(rng.standard_normal((b, na, 1))).astype(np.float32) * 0.01 + 1e-4)
+    k4 = jnp.asarray(rng.integers(-127, 128, size=(b, CL, d)).astype(np.int8))
+    v4 = jnp.asarray(rng.integers(-127, 128, size=(b, CL, d)).astype(np.int8))
+    ks = jnp.asarray(np.abs(rng.standard_normal((b, na, CL))).astype(np.float32) * 0.01)
+    vs = jnp.asarray(np.abs(rng.standard_normal((b, na, CL))).astype(np.float32) * 0.01)
+    extra = jnp.asarray(np.where(
+        np.arange(CL)[None, None, :] > CL // 2, -1e9,
+        rng.standard_normal((1, na, CL)) * 0.1).astype(np.float32))
+    scale = 1 / np.sqrt(da)
+    ref = np.asarray(decode_attention_i8_xla(qbd, sq, k4, ks, v4, vs,
+                                             extra, scale))
+    got = np.asarray(decode_attention_i8_pallas(
+        qbd, sq, k4, ks, v4, vs, extra, scale, out_dtype=jnp.float32,
+        interpret=True))
+    np.testing.assert_allclose(got, ref, atol=1e-4, rtol=1e-4)
+    # odd batch exercises the btile=1 fallback
+    ref3 = np.asarray(decode_attention_i8_xla(qbd[:3], sq[:3], k4[:3],
+                                              ks[:3], v4[:3], vs[:3],
+                                              extra, scale))
+    got3 = np.asarray(decode_attention_i8_pallas(
+        qbd[:3], sq[:3], k4[:3], ks[:3], v4[:3], vs[:3], extra, scale,
+        out_dtype=jnp.float32, interpret=True))
+    np.testing.assert_allclose(got3, ref3, atol=1e-4, rtol=1e-4)

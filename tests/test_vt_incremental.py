@@ -162,13 +162,17 @@ def test_quantize_cols_fold_is_exact(rng):
                                np.asarray(y @ deq), rtol=1e-5, atol=1e-5)
 
 
-@pytest.mark.parametrize("kv,weights,mm", [("int8", "native", "native"),
-                                           ("native", "int8", "native"),
-                                           ("int8", "int8", "native"),
-                                           ("int4", "native", "native"),
-                                           ("int8", "native", "int8"),
-                                           ("int8", "int8", "int8")])
-def test_int8_modes_track_native_greedy(rng, kv, weights, mm):
+@pytest.mark.parametrize("kv,weights,mm,attn", [
+    ("int8", "native", "native", "xla"),
+    ("native", "int8", "native", "xla"),
+    ("int8", "int8", "native", "xla"),
+    ("int4", "native", "native", "xla"),
+    ("int8", "native", "int8", "xla"),
+    ("int8", "int8", "int8", "xla"),
+    ("int8", "native", "native", "pallas"),
+    ("int8", "int8", "native", "pallas"),
+])
+def test_int8_modes_track_native_greedy(rng, kv, weights, mm, attn):
     """int8 KV caches / int8 streamed weights / int8 MXU attention dots are
     perf knobs whose only deviation is int8 rounding: greedy samples must
     agree with the native path at >= 90% of positions on a tiny model
@@ -185,12 +189,14 @@ def test_int8_modes_track_native_greedy(rng, kv, weights, mm):
                                      greedy=True))
     got = np.asarray(m.sample_video(params, video, key, n_prime=1,
                                     greedy=True, kv_cache_dtype=kv,
-                                    weight_dtype=weights, mm_dtype=mm))
+                                    weight_dtype=weights, mm_dtype=mm,
+                                    attn_impl=attn))
     assert got.shape == base.shape and got.min() >= 0 and got.max() < m.c.nv
     agree = float((got == base).mean())
     floor = 0.75 if kv == "int4" else 0.90  # int4 rounding is 16x coarser
     assert agree >= floor, (
-        f"greedy agreement {agree:.3f} with kv={kv}, w={weights}, mm={mm}")
+        f"greedy agreement {agree:.3f} with kv={kv}, w={weights}, mm={mm}, "
+        f"attn={attn}")
 
 
 def test_int8_mm_requires_int8_kv(rng):

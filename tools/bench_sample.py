@@ -28,6 +28,10 @@ def main():
     p.add_argument("--weights", default="native", choices=["native", "int8"],
                    help="stream per-pixel decoder weights as int8 "
                         "(per-column scales folded exactly)")
+    p.add_argument("--attn", default="xla", choices=["xla", "pallas"],
+                   help="per-pixel attention impl: 'pallas' = fused-lane "
+                        "int8 decode kernel with native int8 MXU dots "
+                        "(requires --kv int8; supersedes --mm)")
     p.add_argument("--mm", default="native", choices=["native", "int8"],
                    help="run attention contractions as int8 x int8 MXU dots "
                         "(requires --kv int8; skips the cache dequant)")
@@ -64,7 +68,8 @@ def main():
 
     fn = jax.jit(lambda v, k: model.sample_video(
         params, v, k, n_prime=n_prime, kv_cache_dtype=args.kv,
-        kv_seg_size=args.seg, weight_dtype=args.weights, mm_dtype=args.mm))
+        kv_seg_size=args.seg, weight_dtype=args.weights, mm_dtype=args.mm,
+        attn_impl=args.attn))
     key = jax.random.key(7)
     fn(video, key).block_until_ready()  # compile
 
@@ -85,6 +90,7 @@ def main():
     print(json.dumps({
         "config": os.path.basename(args.config),
         "batch": B, "kv": args.kv, "seg": args.seg, "mm": args.mm,
+        "attn": args.attn,
         "n_prime": n_prime,
         "seconds_median": round(med, 3),
         "seconds_min": round(min(times), 3),
