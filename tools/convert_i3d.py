@@ -185,6 +185,13 @@ def load_source(path: str, fmt: str) -> dict:
 
 
 def main():
+    # Weight conversion needs jax only for the schema shapes (init_i3d) —
+    # run on CPU so the tool never waits on (or competes for) an
+    # accelerator. Must go through jax.config: the axon sitecustomize
+    # clobbers plain JAX_PLATFORMS env vars (CLAUDE.md).
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
     p = argparse.ArgumentParser(
         description=__doc__, formatter_class=argparse.RawDescriptionHelpFormatter)
     p.add_argument("--src", required=True, help="source checkpoint "
