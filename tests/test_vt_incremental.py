@@ -211,3 +211,26 @@ def test_int8_mm_requires_int8_kv(rng):
     with pytest.raises(ValueError, match="mm_dtype"):
         m.sample_video(params, video, jax.random.key(0), n_prime=1,
                        greedy=True, kv_cache_dtype="native", mm_dtype="int8")
+
+
+@pytest.mark.parametrize("case_idx,seg", [(1, 0), (1, 4), (3, 0)])
+def test_pallas_attn_tracks_native_on_block_geometries(rng, case_idx, seg):
+    """attn_impl='pallas' must hold its >=90% greedy agreement on the
+    block-local cache geometry (DSSVT-like, case 1) — including segmented
+    cache growth — and on the factored-bias fallback geometry (case 3),
+    whose bias rows are rebuilt from the per-block tables per pixel."""
+    stride, kernel, blocks, THW = CASES[case_idx]
+    cfg = _cfg(stride, kernel, blocks)
+    m = VideoTransformer(cfg, T=THW[0], H=THW[1], W=THW[2])
+    params, _ = m.init(jax.random.key(0))
+    video = jnp.asarray(
+        rng.integers(0, m.c.nv, size=(2, m.c.nc, *THW)), jnp.int32)
+    key = jax.random.key(5)
+    base = np.asarray(m.sample_video(params, video, key, n_prime=1,
+                                     greedy=True))
+    got = np.asarray(m.sample_video(params, video, key, n_prime=1,
+                                    greedy=True, kv_cache_dtype="int8",
+                                    kv_seg_size=seg, attn_impl="pallas"))
+    agree = float((got == base).mean())
+    assert agree >= 0.90, (
+        f"greedy agreement {agree:.3f} on case {case_idx} seg={seg}")
