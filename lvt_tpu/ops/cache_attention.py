@@ -181,9 +181,16 @@ def decode_attention_i8_pallas(qi_bd, sq, k4, ks, v4, vs, extra, scale, *,
             o_ref[i] = jnp.sum(outf * mask, axis=0,
                                keepdims=True).astype(o_ref.dtype)
 
+    try:
+        # batch-tile programs are independent: let Mosaic overlap their DMAs
+        compiler_params = pltpu.CompilerParams(
+            dimension_semantics=("parallel",))
+    except TypeError:  # older pallas without the field
+        compiler_params = None
     return pl.pallas_call(
         kernel,
         grid=(b // btile,),
+        compiler_params=compiler_params,
         in_specs=[
             pl.BlockSpec((btile, na, d), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
