@@ -82,3 +82,26 @@ def test_sample_video_tp_matches_replicated(rng):
     mesh_tp = build_mesh(data=4, model=2)
     wq = shard_tree(mesh_tp, params)["netG"]["decoder"]["layers"][0].wq
     assert wq.sharding.spec == P("model"), wq.sharding
+
+
+def test_sample_video_sharded_pallas_attn(rng):
+    """The Pallas decode-attention path must survive data-axis GSPMD
+    sharding (serving scale-out) and reproduce the unsharded rollout —
+    its caches live inside the scan carry, so every shard runs its own
+    fused-lane caches."""
+    m = _tiny_vt()
+    params, _ = m.init(jax.random.key(0))
+    mesh = build_mesh(data=8, model=1)
+    video = jnp.asarray(rng.integers(0, m.c.nv, size=(16, m.c.nc, 4, 4, 4)),
+                        jnp.int32)
+    key = jax.random.key(3)
+
+    def call(p, vd):
+        return m.sample_video(p, vd, key, n_prime=1, greedy=True,
+                              kv_cache_dtype="int8", attn_impl="pallas")
+
+    video_s = jax.device_put(video, NamedSharding(mesh, P("data")))
+    params_rep = jax.device_put(params, NamedSharding(mesh, P()))
+    out = np.asarray(jax.jit(call)(params_rep, video_s))
+    base = np.asarray(jax.jit(call)(params, video))
+    np.testing.assert_array_equal(out, base)
