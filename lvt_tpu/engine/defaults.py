@@ -165,6 +165,7 @@ def build_vt_infer_fn(cfg, model, params, *, rng=None):
     kv_dtype = cfg.TEST.VT_SAMPLER.KV_DTYPE
     kv_seg = cfg.TEST.VT_SAMPLER.SEG
     w_dtype = getattr(cfg.TEST.VT_SAMPLER, "WEIGHT_DTYPE", "native")
+    attn_impl = getattr(cfg.TEST.VT_SAMPLER, "ATTN_IMPL", "xla")
     if rng is None:
         rng = jax.random.key(max(cfg.SEED, 0))
     rng_holder = {"key": rng}
@@ -184,12 +185,12 @@ def build_vt_infer_fn(cfg, model, params, *, rng=None):
         out = model.sample_video(params, primed, key,
                                  n_prime=n_prime_sample, class_idx=crep,
                                  kv_cache_dtype=kv_dtype, kv_seg_size=kv_seg,
-                                 weight_dtype=w_dtype)
+                                 weight_dtype=w_dtype, attn_impl=attn_impl)
         return out.reshape((num_samples,) + v.shape)
 
     sample_fn = _cached_jit(
         model, ("vt_sample", num_samples, n_prime_sample, kv_dtype, kv_seg,
-                w_dtype),
+                w_dtype, attn_impl),
         _sample) if want_samples else None
 
     def infer(batch):

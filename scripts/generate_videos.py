@@ -117,6 +117,7 @@ def main():
             vt_params, video, key, n_prime=n_prime,
             kv_cache_dtype=cfg.TEST.VT_SAMPLER.KV_DTYPE,
             kv_seg_size=cfg.TEST.VT_SAMPLER.SEG,
+            attn_impl=cfg.TEST.VT_SAMPLER.ATTN_IMPL,
             weight_dtype=getattr(cfg.TEST.VT_SAMPLER, "WEIGHT_DTYPE",
                                  "native"))[0]
         # decode all frames
