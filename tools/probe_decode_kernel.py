@@ -212,11 +212,11 @@ def check():
     print("OK")
 
 
-def bench():
-    qbd, k4, ks, v4, vs, extra = make_inputs(jax.random.key(0))
+def bench(btile=8, cl=CL):
+    qbd, k4, ks, v4, vs, extra = make_inputs(jax.random.key(0), cl=cl)
     scale = 1.0 / np.sqrt(DA)
     # one layer's caches; chain 50 steps x 8 layers via scan over q
-    LOGICAL = 2 * B * CL * D  # int8 K+V bytes per layer-call
+    LOGICAL = 2 * B * cl * D  # int8 K+V bytes per layer-call
 
     def run(fn, name):
         @jax.jit
@@ -255,8 +255,10 @@ def bench():
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--check", action="store_true")
+    ap.add_argument("--btile", type=int, default=8)
+    ap.add_argument("--cl", type=int, default=CL)
     args = ap.parse_args()
     if args.check:
         check()
     else:
-        bench()
+        bench(btile=args.btile, cl=args.cl)
