@@ -100,6 +100,10 @@ _C.SOLVER.WARMUP_FACTOR = 0.01
 _C.SOLVER.WARMUP_METHOD = "linear"
 
 _C.SOLVER.OPTIMIZER_NAME = "adam"
+# "bfloat16" stores optimizer state (RMSprop v/buf, Adam moments) in bf16 —
+# halves optimizer HBM and its per-step read/write traffic; updates still
+# computed in fp32 (solver/build.py cast_opt_state)
+_C.SOLVER.OPT_STATE_DTYPE = "float32"
 _C.SOLVER.LR_G = 0.0001
 _C.SOLVER.LR_D = 0.0004
 

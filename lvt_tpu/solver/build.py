@@ -53,6 +53,37 @@ def scale_by_torch_rmsprop(alpha: float, momentum: float, eps: float = 1e-8):
     return optax.GradientTransformation(init_fn, update_fn)
 
 
+def cast_opt_state(tx: optax.GradientTransformation,
+                   dtype) -> optax.GradientTransformation:
+    """Store the optimizer state's float leaves in `dtype` (e.g. bf16 —
+    halves optimizer HBM and its read/write traffic per step), computing
+    each update in fp32: state is upcast before the wrapped update and the
+    new state rounded back after. Integer leaves (step counts) untouched.
+
+    Tradeoff: the second-moment EMA accumulates (1-alpha)*g^2 increments
+    into a rounded accumulator; bf16's 8 mantissa bits lose small updates
+    fp32 would keep. Acceptable drift for RMSprop/Adam-style normalizers
+    in practice — opt in via SOLVER.OPT_STATE_DTYPE."""
+    dtype = jnp.dtype(dtype)
+
+    def _down(x):
+        return x.astype(dtype) if jnp.issubdtype(x.dtype, jnp.floating) else x
+
+    def _up(x):
+        return (x.astype(jnp.float32)
+                if jnp.issubdtype(x.dtype, jnp.floating) else x)
+
+    def init_fn(params):
+        return jax.tree_util.tree_map(_down, tx.init(params))
+
+    def update_fn(updates, state, params=None):
+        out, new_state = tx.update(updates,
+                                   jax.tree_util.tree_map(_up, state), params)
+        return out, jax.tree_util.tree_map(_down, new_state)
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
 def _warmup_factor(method: str, it, warmup_iters: int, warmup_factor: float):
     """reference lr_scheduler.py:91-117; returns an array factor."""
     if warmup_iters <= 0:
@@ -170,4 +201,12 @@ def build_optimizer(cfg, suffix: str = "_G") -> optax.GradientTransformation:
 
     schedule = build_lr_schedule(cfg)
     chain.append(optax.scale_by_schedule(lambda step: -lr * schedule(step)))
-    return optax.chain(*chain)
+    tx = optax.chain(*chain)
+    state_dtype = getattr(S, "OPT_STATE_DTYPE", "float32")
+    if state_dtype not in ("float32", "bfloat16"):
+        raise ValueError(
+            f"SOLVER.OPT_STATE_DTYPE must be 'float32' or 'bfloat16', "
+            f"got {state_dtype!r}")
+    if state_dtype != "float32":
+        tx = cast_opt_state(tx, jnp.bfloat16)
+    return tx

@@ -5,6 +5,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import optax
+import pytest
 import torch
 
 from lvt_tpu.config import get_cfg
@@ -91,3 +92,60 @@ def test_cosine_schedule():
     np.testing.assert_allclose(float(s(0)), 1.0, atol=1e-6)
     np.testing.assert_allclose(float(s(50)), 0.5, atol=1e-6)
     np.testing.assert_allclose(float(s(100)), 0.0, atol=1e-6)
+
+
+def test_opt_state_dtype_bfloat16():
+    """SOLVER.OPT_STATE_DTYPE='bfloat16' stores the optimizer state's float
+    leaves in bf16 (halved optimizer memory) while the update trajectory
+    stays close to fp32 state — the update math runs in fp32 either way."""
+    import jax
+    import jax.numpy as jnp
+
+    from lvt_tpu.config import get_cfg
+
+    def build(state_dtype):
+        cfg = get_cfg()
+        cfg.SOLVER.OPTIMIZER_NAME = "rmsprop"
+        cfg.SOLVER.LR_G = 1e-3
+        cfg.SOLVER.OPT_STATE_DTYPE = state_dtype
+        return build_optimizer(cfg)
+
+    params = {"w": jnp.ones((8, 8), jnp.float32),
+              "b": jnp.zeros((8,), jnp.float32),
+              "step_like_int": jnp.zeros((), jnp.int32)}
+    tx16, tx32 = build("bfloat16"), build("float32")
+    s16, s32 = tx16.init(params), tx32.init(params)
+    f16 = [l.dtype for l in jax.tree_util.tree_leaves(s16)
+           if hasattr(l, "dtype") and jnp.issubdtype(l.dtype, jnp.floating)]
+    assert f16 and all(d == jnp.bfloat16 for d in f16), f16
+    # int leaves (if any) must not be cast
+    ints = [l.dtype for l in jax.tree_util.tree_leaves(s16)
+            if hasattr(l, "dtype") and jnp.issubdtype(l.dtype, jnp.integer)]
+    assert all(jnp.issubdtype(d, jnp.integer) for d in ints)
+
+    key = jax.random.key(0)
+    p16 = p32 = params
+    for i in range(5):
+        key, sub = jax.random.split(key)
+        g = jax.tree_util.tree_map(
+            lambda p, k=sub: jax.random.normal(k, p.shape, jnp.float32)
+            if jnp.issubdtype(p.dtype, jnp.floating) else jnp.zeros_like(p),
+            params)
+        u16, s16 = tx16.update(g, s16, p16)
+        u32, s32 = tx32.update(g, s32, p32)
+        p16 = optax.apply_updates(p16, u16)
+        p32 = optax.apply_updates(p32, u32)
+    # bf16 state rounds the normalizer; trajectories drift slightly but
+    # must stay within ~1% of the fp32 update scale after 5 steps
+    dw = float(jnp.max(jnp.abs(p16["w"] - p32["w"])))
+    scale = float(jnp.max(jnp.abs(p32["w"] - params["w"])) + 1e-12)
+    assert dw / scale < 0.05, (dw, scale)
+
+
+def test_opt_state_dtype_validation():
+    from lvt_tpu.config import get_cfg
+
+    cfg = get_cfg()
+    cfg.SOLVER.OPT_STATE_DTYPE = "float16"
+    with pytest.raises(ValueError, match="OPT_STATE_DTYPE"):
+        build_optimizer(cfg)
