@@ -148,7 +148,7 @@ def test_ema_update_semantics(rng):
 def test_ema_psum_across_devices(rng):
     """EMA stats psum'd over a data mesh equal single-device stats on the
     concatenated batch (reference AllReduce semantics, vq_embedding.py:47,54)."""
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
     from jax.sharding import Mesh, PartitionSpec as P
 
     devs = jax.devices()[:4]
