@@ -178,7 +178,10 @@ def sample_slice_incremental(params, c: VTConfig, slice_shape, zl, sl, key,
     fused-lane (b, cl, na*da) int8 caches, block-diagonal q, native
     int8 x int8 MXU dots. Same rounding behavior as mm_dtype="int8"
     (which it supersedes when active). "xla" (default) keeps the einsum
-    formulation on the (b, na, cl, da) layout.
+    formulation on the (b, na, cl, da) layout. Data-axis (DP) sharded
+    serving works (tests/test_multichip_sampling.py); for TENSOR-parallel
+    serving (model axis > 1) use attn_impl="xla" — GSPMD cannot split an
+    opaque kernel call over the head dimension.
     """
     if kv_dtype not in ("native", "int8", "int4"):
         raise ValueError(
