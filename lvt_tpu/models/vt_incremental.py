@@ -106,11 +106,17 @@ def posenc_rows(slice_shape: Tuple[int, int, int], d: int) -> np.ndarray:
 # Incremental rollout
 # --------------------------------------------------------------------------
 
+def _tup_set(t: tuple, i: int, v):
+    """Replace element i of a tuple (per-layer cache pytrees)."""
+    return t[:i] + (v,) + t[i + 1:]
+
+
 class SliceCarry(NamedTuple):
     sl: jnp.ndarray  # (b, nc, thw) current codes
     emb: jnp.ndarray  # (b, thw, de) summed channel embeddings of final codes
     kcaches: jnp.ndarray  # (L, b, na, thw, da) stacked per-layer K cache;
-    #                       fused-lane (L, b, thw, na*da) under attn_impl='pallas'
+    #                       under attn_impl='pallas': a length-L tuple of
+    #                       fused-lane (b, thw, na*da) arrays
     vcaches: jnp.ndarray  # same layout as kcaches
     kscales: jnp.ndarray  # (L, b, na, thw) per-row K scales (int8 mode; dummy otherwise)
     vscales: jnp.ndarray  # (L, b, na, thw)
@@ -323,7 +329,8 @@ def sample_slice_incremental(params, c: VTConfig, slice_shape, zl, sl, key,
         blk_run rows (segmented growth below); position p reads and writes
         cache row p_loc = p mod blk_run — exact because p only attends
         within its contiguous attention block (see block-local notes)."""
-        cache_len = carry.kcaches.shape[2 if pallas_attn else 3]
+        cache_len = (carry.kcaches[0].shape[1] if pallas_attn
+                     else carry.kcaches.shape[3])
         p_loc = jax.lax.rem(p, jnp.int32(blk_run)) if block_local else p
         # causal conv at p: gather unmasked-tap neighbors (all strictly < p)
         rows = carry.emb[:, nbr[p]]  # (b, K', de); nbr -1 wraps to last row
@@ -350,11 +357,23 @@ def sample_slice_incremental(params, c: VTConfig, slice_shape, zl, sl, key,
                               -qmax, qmax).astype(kv_store)
                 vv = jnp.clip(jnp.round(vv / (sv[..., None] + 1e-8)),
                               -qmax, qmax).astype(kv_store)
-                new_ks = new_ks.at[l, :, :, p_loc].set(sk)
-                new_vs = new_vs.at[l, :, :, p_loc].set(sv)
+                if pallas_attn:
+                    new_ks = _tup_set(new_ks, l,
+                                      new_ks[l].at[:, :, p_loc].set(sk))
+                    new_vs = _tup_set(new_vs, l,
+                                      new_vs[l].at[:, :, p_loc].set(sv))
+                else:
+                    new_ks = new_ks.at[l, :, :, p_loc].set(sk)
+                    new_vs = new_vs.at[l, :, :, p_loc].set(sv)
             if pallas_attn:
-                new_k = new_k.at[l, :, p_loc, :].set(kk.reshape(b, na * da))
-                new_v = new_v.at[l, :, p_loc, :].set(vv.reshape(b, na * da))
+                # per-layer (unstacked) caches: the kernel consumes each
+                # layer's array directly — a stacked (L, ...) carry would
+                # hand the custom call a new_k[l] slice that XLA may have
+                # to materialize as a copy
+                new_k = _tup_set(new_k, l, new_k[l].at[:, p_loc, :].set(
+                    kk.reshape(b, na * da)))
+                new_v = _tup_set(new_v, l, new_v[l].at[:, p_loc, :].set(
+                    vv.reshape(b, na * da)))
             else:
                 new_k = new_k.at[l, :, :, p_loc].set(kk)
                 new_v = new_v.at[l, :, :, p_loc].set(vv)
@@ -456,28 +475,55 @@ def sample_slice_incremental(params, c: VTConfig, slice_shape, zl, sl, key,
 
     kv_store = {"int8": jnp.int8, "int4": jnp.int4}.get(kv_dtype, cdtype)
     scale_len0 = bounds[0] if use_int8 else 1
-    # cache layout: (L, b, na, cl, da) for the XLA paths; fused-lane
-    # (L, b, cl, na*da) for the Pallas decode kernel (cl axis differs)
-    cax = 2 if pallas_attn else 3
+    # cache layout: stacked (L, b, na, cl, da) for the XLA paths; per-layer
+    # tuples of fused-lane (b, cl, na*da) for the Pallas decode kernel (the
+    # custom call consumes whole arrays — no new_k[l] slice to materialize)
 
     def _cache_zeros(rows):
-        shape = ((L, b, rows, na * da) if pallas_attn
-                 else (L, b, na, rows, da))
-        return jnp.zeros(shape, kv_store)
+        if pallas_attn:
+            return tuple(jnp.zeros((b, rows, na * da), kv_store)
+                         for _ in range(L))
+        return jnp.zeros((L, b, na, rows, da), kv_store)
+
+    def _scale_zeros(rows):
+        if pallas_attn:
+            return tuple(jnp.zeros((b, na, rows), cdtype) for _ in range(L))
+        return jnp.zeros((L, b, na, rows), cdtype)
 
     carry = SliceCarry(
         sl=sl_flat,
         emb=emb0.astype(cdtype),
         kcaches=_cache_zeros(bounds[0]),
         vcaches=_cache_zeros(bounds[0]),
-        kscales=jnp.zeros((L, b, na, scale_len0), cdtype),
-        vscales=jnp.zeros((L, b, na, scale_len0), cdtype),
+        kscales=_scale_zeros(scale_len0),
+        vscales=_scale_zeros(scale_len0),
         key=key,
     )
 
     def _shrink(cache, rows):
-        return (cache[:, :, :rows] if pallas_attn
-                else cache[:, :, :, :rows])
+        if pallas_attn:
+            return tuple(c[:, :rows] for c in cache)
+        return cache[:, :, :, :rows]
+
+    def _shrink_scales(scales, rows):
+        if pallas_attn:
+            return tuple(s[:, :, :rows] for s in scales)
+        return scales[:, :, :, :rows]
+
+    def _grow(cache, pad):
+        if pallas_attn:
+            return tuple(jnp.concatenate([c, p], axis=1)
+                         for c, p in zip(cache, pad))
+        return jnp.concatenate([cache, pad], axis=3)
+
+    def _grow_scales(scales, pad):
+        if pallas_attn:
+            return tuple(jnp.concatenate([s, p], axis=2)
+                         for s, p in zip(scales, pad))
+        return jnp.concatenate([scales, pad], axis=3)
+
+    def _rows(cache):
+        return cache[0].shape[1] if pallas_attn else cache.shape[3]
 
     for base in range(0, thw, blk_run):
         if base > 0:
@@ -485,23 +531,23 @@ def sample_slice_incremental(params, c: VTConfig, slice_shape, zl, sl, key,
             carry = carry._replace(
                 kcaches=_shrink(carry.kcaches, bounds[0]),
                 vcaches=_shrink(carry.vcaches, bounds[0]),
-                kscales=carry.kscales[:, :, :, :scale_len0],
-                vscales=carry.vscales[:, :, :, :scale_len0],
+                kscales=_shrink_scales(carry.kscales, scale_len0),
+                vscales=_shrink_scales(carry.vscales, scale_len0),
             )
         start = 0
         for end in bounds:
-            grow = end - carry.kcaches.shape[cax]
+            grow = end - _rows(carry.kcaches)
             if grow > 0:
                 pad = _cache_zeros(grow)
                 carry = carry._replace(
-                    kcaches=jnp.concatenate([carry.kcaches, pad], axis=cax),
-                    vcaches=jnp.concatenate([carry.vcaches, pad], axis=cax),
+                    kcaches=_grow(carry.kcaches, pad),
+                    vcaches=_grow(carry.vcaches, pad),
                 )
                 if use_int8:
-                    spad = jnp.zeros((L, b, na, grow), cdtype)
+                    spad = _scale_zeros(grow)
                     carry = carry._replace(
-                        kscales=jnp.concatenate([carry.kscales, spad], axis=3),
-                        vscales=jnp.concatenate([carry.vscales, spad], axis=3),
+                        kscales=_grow_scales(carry.kscales, spad),
+                        vscales=_grow_scales(carry.vscales, spad),
                     )
             carry, _ = jax.lax.scan(pixel_step, carry,
                                     jnp.arange(base + start, base + end))
