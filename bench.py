@@ -69,6 +69,9 @@ def main():
                              "compile; the physical-bound self-check always "
                              "runs)")
     args = parser.parse_args()
+    if args.full_recompute and args.attn != "xla":
+        parser.error("--full-recompute bypasses the KV-cached sampler; "
+                     "--attn pallas has no effect there")
 
     import jax
     import jax.numpy as jnp

@@ -393,52 +393,44 @@ def sample_slice_incremental(params, c: VTConfig, slice_shape, zl, sl, key,
                     blockdiag_expand_i8(qi), sq.astype(jnp.float32),
                     kc, new_ks[l], vc, new_vs[l], extra,
                     1.0 / np.sqrt(da), out_dtype=cdtype)  # (b, na*da)
-                x = _mm(out, proj_q[l] if use_int8_w else lp.proj) + x
-                yf = _layer_norm(x, lp.ffn_ln_scale, lp.ffn_ln_bias)
-                yf = jax.nn.relu(
-                    _mm(yf, ffn1_q[l] if use_int8_w else lp.ffn_w1)
-                    + lp.ffn_b1)
-                x = (_mm(yf, ffn2_q[l] if use_int8_w else lp.ffn_w2)
-                     + lp.ffn_b2 + x)
-                continue
-
-            if int8_mm:
-                # native int8 x int8 MXU dot: quantize q per (b, head) so
-                # the cache bytes feed the MXU unconverted; dequant on the
-                # small logits instead of the big cache
-                sq = jnp.max(jnp.abs(q), axis=-1, keepdims=True) / 127.0
-                qi = jnp.clip(jnp.round(q / (sq + 1e-8)),
-                              -127.0, 127.0).astype(jnp.int8)
-                logits = jnp.einsum(
-                    "bak,bajk->baj", qi, kc,
-                    preferred_element_type=jnp.int32).astype(jnp.float32)
-                logits = logits * (sq.astype(jnp.float32) / np.sqrt(da))
             else:
-                logits = jnp.einsum(
-                    "bak,bajk->baj", q, kc.astype(cdtype),
-                    preferred_element_type=jnp.float32) / np.sqrt(da)
-            if use_int8:
-                logits = logits * new_ks[l].astype(jnp.float32)
-            row = _bias_row(l, p, p_loc, cache_len)
-            logits = logits + row[None]  # (b, na, cl)
-            logits = jnp.where(pos_iota[None, None, :cache_len] > p_loc,
-                               jnp.float32(-1e9), logits)
-            wgt = jax.nn.softmax(logits, axis=-1).astype(cdtype)
-            if use_int8:
-                wgt = wgt * new_vs[l]  # fold V scales into the weights
-            if int8_mm:
-                # fold the V scales in FIRST (above), then quantize the
-                # weight row per (b, head): sum_j w'_int_j V_int_j * sw
-                sw = jnp.max(jnp.abs(wgt), axis=-1, keepdims=True)
-                sw = (sw / 127.0).astype(cdtype)
-                wi = jnp.clip(jnp.round(wgt / (sw + 1e-8)),
-                              -127.0, 127.0).astype(jnp.int8)
-                out = jnp.einsum("baj,bajk->bak", wi, vc,
-                                 preferred_element_type=jnp.int32)
-                out = (out.astype(cdtype) * sw).reshape(b, na * da)
-            else:
-                out = jnp.einsum("baj,bajk->bak", wgt,
-                                 vc.astype(cdtype)).reshape(b, na * da)
+                if int8_mm:
+                    # native int8 x int8 MXU dot: quantize q per (b, head)
+                    # so the cache bytes feed the MXU unconverted; dequant
+                    # on the small logits instead of the big cache
+                    sq = jnp.max(jnp.abs(q), axis=-1, keepdims=True) / 127.0
+                    qi = jnp.clip(jnp.round(q / (sq + 1e-8)),
+                                  -127.0, 127.0).astype(jnp.int8)
+                    logits = jnp.einsum(
+                        "bak,bajk->baj", qi, kc,
+                        preferred_element_type=jnp.int32).astype(jnp.float32)
+                    logits = logits * (sq.astype(jnp.float32) / np.sqrt(da))
+                else:
+                    logits = jnp.einsum(
+                        "bak,bajk->baj", q, kc.astype(cdtype),
+                        preferred_element_type=jnp.float32) / np.sqrt(da)
+                if use_int8:
+                    logits = logits * new_ks[l].astype(jnp.float32)
+                row = _bias_row(l, p, p_loc, cache_len)
+                logits = logits + row[None]  # (b, na, cl)
+                logits = jnp.where(pos_iota[None, None, :cache_len] > p_loc,
+                                   jnp.float32(-1e9), logits)
+                wgt = jax.nn.softmax(logits, axis=-1).astype(cdtype)
+                if use_int8:
+                    wgt = wgt * new_vs[l]  # fold V scales into the weights
+                if int8_mm:
+                    # fold the V scales in FIRST (above), then quantize the
+                    # weight row per (b, head): sum_j w'_int_j V_int_j * sw
+                    sw = jnp.max(jnp.abs(wgt), axis=-1, keepdims=True)
+                    sw = (sw / 127.0).astype(cdtype)
+                    wi = jnp.clip(jnp.round(wgt / (sw + 1e-8)),
+                                  -127.0, 127.0).astype(jnp.int8)
+                    out = jnp.einsum("baj,bajk->bak", wi, vc,
+                                     preferred_element_type=jnp.int32)
+                    out = (out.astype(cdtype) * sw).reshape(b, na * da)
+                else:
+                    out = jnp.einsum("baj,bajk->bak", wgt,
+                                     vc.astype(cdtype)).reshape(b, na * da)
             x = _mm(out, proj_q[l] if use_int8_w else lp.proj) + x
             # FFN at p
             yf = _layer_norm(x, lp.ffn_ln_scale, lp.ffn_ln_bias)

@@ -19,11 +19,15 @@ TPU timing (chained 50-step scan, host-fenced):
 """
 import argparse
 import functools
+import os
+import sys
 import time
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 L, B, NA, CL, DA = 8, 256, 8, 256, 16
 D = NA * DA  # 128
@@ -97,74 +101,6 @@ def decode_attn_pallas(qbd, k4, ks, v4, vs, extra, scale, *, btile=8,
     )(qbd, k4, ks, v4, vs, extra).reshape(b, d)
 
 
-def decode_attn_pallas_i8(qi, sq, k4, ks, v4, vs, extra, scale, *, btile=8,
-                          interpret=False, out_dtype=jnp.bfloat16):
-    """Variant: native int8 x int8 MXU dots — the big operands (K/V caches)
-    are never converted elementwise. The VPU int8->f32 convert runs at
-    1 elem/lane/cycle (~120 GB/s), which is exactly where every measured
-    int8 path tops out; int8 MXU ingestion is 2 elems/lane/cycle.
-
-    qi: (b, na, 128) int8 block-diagonal quantized q; sq: (b, na, 1) f32
-    row scales. w is quantized per row in-kernel (small). Math identical to
-    the shipped mm_dtype='int8' sampler path.
-    """
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
-
-    b, na, d = qi.shape
-    cl = k4.shape[1]
-
-    def kernel(q_ref, sq_ref, k_ref, ks_ref, v_ref, vs_ref, e_ref, o_ref):
-        lane = jax.lax.broadcasted_iota(jnp.int32, (na, d), 1)
-        row = jax.lax.broadcasted_iota(jnp.int32, (na, d), 0)
-        mask = (lane // DA == row).astype(jnp.float32)
-        for i in range(btile):
-            logits_i = jax.lax.dot_general(
-                q_ref[i], k_ref[i], dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.int32)  # (na, cl)
-            logits = logits_i.astype(jnp.float32) * (sq_ref[i] * scale)
-            logits = logits * ks_ref[i] + e_ref[0]
-            m = jnp.max(logits, axis=1, keepdims=True)
-            w = jnp.exp(logits - m)
-            w = w / jnp.sum(w, axis=1, keepdims=True)
-            w = w * vs_ref[i]  # fold V scales (f32, small)
-            sw = jnp.max(jnp.abs(w), axis=1, keepdims=True) / 127.0
-            wi = jnp.clip(jnp.round(w / (sw + 1e-8)), -127.0, 127.0
-                          ).astype(jnp.int8)
-            out_i = jax.lax.dot_general(
-                wi, v_ref[i], dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.int32)  # (na, 128)
-            outf = out_i.astype(jnp.float32) * sw
-            o_ref[i] = jnp.sum(outf * mask, axis=0,
-                               keepdims=True).astype(o_ref.dtype)
-
-    grid = (b // btile,)
-    return pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((btile, na, d), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((btile, na, 1), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((btile, cl, d), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((btile, na, cl), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((btile, cl, d), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((btile, na, cl), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, na, cl), lambda i: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((btile, 1, d), lambda i: (i, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, 1, d), out_dtype),
-        interpret=interpret,
-    )(qi, sq, k4, ks, v4, vs, extra).reshape(b, d)
-
-
 def quantize_q(qbd):
     """(b, na, 128) block-diag q -> int8 + (b, na, 1) f32 scales."""
     q32 = qbd.astype(jnp.float32)
@@ -202,9 +138,12 @@ def check():
                                 ref.astype(jnp.float32))))
     print("max abs err pallas vs xla:", err)
     assert err < 0.05, err
+    from lvt_tpu.ops.cache_attention import decode_attention_i8_pallas
+
     qi, sq = quantize_q(qbd)
-    got8 = decode_attn_pallas_i8(qi, sq, k4, ks, v4, vs, extra, scale,
-                                 btile=4, interpret=True)
+    got8 = decode_attention_i8_pallas(qi, sq, k4, ks, v4, vs, extra, scale,
+                                      out_dtype=jnp.bfloat16,
+                                      btile=4, interpret=True)
     err8 = float(jnp.max(jnp.abs(got8.astype(jnp.float32) -
                                  ref.astype(jnp.float32))))
     print("max abs err pallas-i8 vs xla:", err8)
@@ -242,11 +181,16 @@ def bench(btile=8, cl=CL):
         print(f"{name}: {t*1e6:7.1f} us/layer-call, "
               f"{LOGICAL/t/1e9:7.1f} GB/s logical (cache bytes only)")
 
+    # measure the SHIPPED kernel (ops/cache_attention.py), not a probe copy
+    from lvt_tpu.ops.cache_attention import decode_attention_i8_pallas
+
     def i8_call(x, k4_, ks_, v4_, vs_, e_):
         qi, sq = quantize_q(x)
-        return decode_attn_pallas_i8(qi, sq, k4_, ks_, v4_, vs_, e_, scale)
+        return decode_attention_i8_pallas(qi, sq, k4_, ks_, v4_, vs_, e_,
+                                          scale, btile=btile,
+                                          interpret=False)
 
-    run(i8_call, "pallas int8-MXU-dot kernel")
+    run(i8_call, f"pallas int8-MXU-dot kernel (btile={btile}, cl={cl})")
     # Measured earlier same harness (git history): convert-then-bf16-dot
     # pallas kernel 192.5 us / 87 GB/s; xla fused-layout 138.4 us / 121 GB/s;
     # xla natural layout 145 us / 116 GB/s.
