@@ -27,8 +27,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.attention import BlockAttnParams, relative_bias
-from ..ops.cache_attention import (blockdiag_expand_i8,
-                                   decode_attention_i8_pallas)
+from ..ops.cache_attention import (blockdiag_expand, blockdiag_expand_i8,
+                                   decode_attention_i8_pallas,
+                                   decode_attention_pallas)
 from ..ops.posenc import _signal_np
 from .vt import VTConfig, _layer_norm, vt_sample_pixel_channels
 
@@ -179,12 +180,13 @@ def sample_slice_incremental(params, c: VTConfig, slice_shape, zl, sl, key,
     rounding: q and folded weights at int8 (~0.4% rel), on top of the K/V
     rounding the int8 cache already has.
 
-    attn_impl: "pallas" (requires kv_dtype="int8") runs the per-pixel
-    attention as the Pallas decode kernel in ops/cache_attention.py —
-    fused-lane (b, cl, na*da) int8 caches, block-diagonal q, native
-    int8 x int8 MXU dots. Same rounding behavior as mm_dtype="int8"
-    (which it supersedes when active). "xla" (default) keeps the einsum
-    formulation on the (b, na, cl, da) layout. Data-axis (DP) sharded
+    attn_impl: "pallas" runs the per-pixel attention as a Pallas decode
+    kernel (ops/cache_attention.py) over fused-lane (b, cl, na*da)
+    caches with block-diagonal q. With kv_dtype="int8": native int8 MXU
+    dots, same rounding behavior as mm_dtype="int8" (which it supersedes
+    when active). With kv_dtype="native": bf16/f32 dots, no quantization
+    anywhere. "xla" (default) keeps the einsum formulation on the
+    (b, na, cl, da) layout. Data-axis (DP) sharded
     serving works (tests/test_multichip_sampling.py); for TENSOR-parallel
     serving (model axis > 1) use attn_impl="xla" — GSPMD cannot split an
     opaque kernel call over the head dimension.
@@ -204,10 +206,11 @@ def sample_slice_incremental(params, c: VTConfig, slice_shape, zl, sl, key,
     if attn_impl not in ("xla", "pallas"):
         raise ValueError(
             f"attn_impl must be 'xla' or 'pallas', got {attn_impl!r}")
-    if attn_impl == "pallas" and kv_dtype != "int8":
-        raise ValueError("attn_impl='pallas' requires kv_dtype='int8' "
-                         "(the decode kernel runs native int8 MXU dots "
-                         "over the fused-lane int8 caches)")
+    if attn_impl == "pallas" and kv_dtype not in ("int8", "native"):
+        raise ValueError("attn_impl='pallas' supports kv_dtype 'int8' "
+                         "(int8 MXU dots over fused-lane int8 caches) or "
+                         "'native' (bf16/f32 dots, no quantization), "
+                         f"not {kv_dtype!r}")
     use_int8 = kv_dtype in ("int8", "int4")
     int8_mm = mm_dtype == "int8"
     # Pallas decode kernel: fused-lane (b, cl, na*da) int8 caches + native
@@ -386,13 +389,18 @@ def sample_slice_incremental(params, c: VTConfig, slice_shape, zl, sl, key,
                 extra = jnp.where(
                     pos_iota[None, None, :cache_len] > p_loc,
                     jnp.float32(-1e9), row[None])
-                sq = jnp.max(jnp.abs(q), axis=-1, keepdims=True) / 127.0
-                qi = jnp.clip(jnp.round(q / (sq + 1e-8)),
-                              -127.0, 127.0).astype(jnp.int8)
-                out = decode_attention_i8_pallas(
-                    blockdiag_expand_i8(qi), sq.astype(jnp.float32),
-                    kc, new_ks[l], vc, new_vs[l], extra,
-                    1.0 / np.sqrt(da), out_dtype=cdtype)  # (b, na*da)
+                if use_int8:
+                    sq = jnp.max(jnp.abs(q), axis=-1, keepdims=True) / 127.0
+                    qi = jnp.clip(jnp.round(q / (sq + 1e-8)),
+                                  -127.0, 127.0).astype(jnp.int8)
+                    out = decode_attention_i8_pallas(
+                        blockdiag_expand_i8(qi), sq.astype(jnp.float32),
+                        kc, new_ks[l], vc, new_vs[l], extra,
+                        1.0 / np.sqrt(da), out_dtype=cdtype)  # (b, na*da)
+                else:
+                    out = decode_attention_pallas(
+                        blockdiag_expand(q), kc, vc, extra,
+                        1.0 / np.sqrt(da), out_dtype=cdtype)
             else:
                 if int8_mm:
                     # native int8 x int8 MXU dot: quantize q per (b, head)

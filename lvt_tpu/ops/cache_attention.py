@@ -220,3 +220,96 @@ def blockdiag_expand_i8(qi):
     b, na, da = qi.shape
     eye = jnp.eye(na, dtype=jnp.int8)
     return (qi[:, :, None, :] * eye[None, :, :, None]).reshape(b, na, na * da)
+
+
+def blockdiag_expand(q):
+    """(b, na, da) -> (b, na, na*da) with head a's values in lanes
+    [a*da, (a+1)*da) of row a, zeros elsewhere. Any dtype."""
+    b, na, da = q.shape
+    eye = jnp.eye(na, dtype=q.dtype)
+    return (q[:, :, None, :] * eye[None, :, :, None]).reshape(b, na, na * da)
+
+
+def decode_attention_xla(qbd, k4, v4, extra, scale):
+    """XLA reference for the native-dtype fused-lane formulation."""
+    logits = jnp.einsum("bae,bje->baj", qbd, k4,
+                        preferred_element_type=jnp.float32) * scale
+    logits = logits + extra
+    w = jax.nn.softmax(logits, axis=-1)
+    outf = jnp.einsum("baj,bje->bae", w.astype(k4.dtype), v4,
+                      preferred_element_type=jnp.float32)
+    na, d = qbd.shape[1], qbd.shape[2]
+    da = d // na
+    mask = (jax.lax.broadcasted_iota(jnp.int32, (na, d), 1) // da ==
+            jax.lax.broadcasted_iota(jnp.int32, (na, d), 0))
+    return (outf * mask[None]).sum(1)  # (b, d) f32
+
+
+def decode_attention_pallas(qbd, k4, v4, extra, scale, *,
+                            out_dtype=jnp.bfloat16,
+                            btile: Optional[int] = None,
+                            interpret: Optional[bool] = None):
+    """Native-dtype decode attention (kv_dtype='native' + attn_impl=
+    'pallas'): same fused-lane/block-diagonal structure as the int8
+    kernel but no quantization anywhere — bf16 operands feed the MXU
+    directly (1 elem/lane/cycle vs int8's 2; 2x the bytes of the int8
+    cache, but no rounding beyond bf16 itself).
+
+    qbd (b, na, d) block-diagonal q; k4/v4 (b, cl, d); extra (1, na, cl)
+    f32 bias + causal mask. Returns (b, d) in out_dtype.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    b, na, d = qbd.shape
+    cl = k4.shape[1]
+    da = d // na
+    if btile is None:
+        btile = _pick_btile(b)
+
+    def kernel(q_ref, k_ref, v_ref, e_ref, o_ref):
+        lane = jax.lax.broadcasted_iota(jnp.int32, (na, d), 1)
+        row = jax.lax.broadcasted_iota(jnp.int32, (na, d), 0)
+        mask = (lane // da == row).astype(jnp.float32)
+        for i in range(btile):
+            logits = jax.lax.dot_general(
+                q_ref[i], k_ref[i],
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale  # (na, cl)
+            logits = logits + e_ref[0]
+            m = jnp.max(logits, axis=1, keepdims=True)
+            w = jnp.exp(logits - m)
+            w = w / jnp.sum(w, axis=1, keepdims=True)
+            out = jax.lax.dot_general(
+                w.astype(k_ref.dtype), v_ref[i],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)  # (na, d)
+            o_ref[i] = jnp.sum(out * mask, axis=0,
+                               keepdims=True).astype(o_ref.dtype)
+
+    try:
+        compiler_params = pltpu.CompilerParams(
+            dimension_semantics=("parallel",))
+    except TypeError:
+        compiler_params = None
+    return pl.pallas_call(
+        kernel,
+        grid=(b // btile,),
+        compiler_params=compiler_params,
+        in_specs=[
+            pl.BlockSpec((btile, na, d), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((btile, cl, d), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((btile, cl, d), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, na, cl), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((btile, 1, d), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, 1, d), out_dtype),
+        interpret=interpret,
+    )(qbd, k4, v4, extra).reshape(b, d)

@@ -63,3 +63,26 @@ def test_decode_attention_i8_kernel_matches_xla(rng):
         qbd[:3], sq[:3], k4[:3], ks[:3], v4[:3], vs[:3], extra, scale,
         out_dtype=jnp.float32, interpret=True))
     np.testing.assert_allclose(got3, ref3, atol=1e-4, rtol=1e-4)
+
+
+def test_decode_attention_native_kernel_matches_xla(rng):
+    """The native-dtype (no quantization) decode kernel must match its XLA
+    reference formulation in interpret mode."""
+    from lvt_tpu.ops.cache_attention import (blockdiag_expand,
+                                             decode_attention_pallas,
+                                             decode_attention_xla)
+
+    b, na, CL, da = 4, 2, 32, 16
+    d = na * da
+    q = jnp.asarray(rng.standard_normal((b, na, da)).astype(np.float32))
+    qbd = blockdiag_expand(q)
+    k4 = jnp.asarray(rng.standard_normal((b, CL, d)).astype(np.float32))
+    v4 = jnp.asarray(rng.standard_normal((b, CL, d)).astype(np.float32))
+    extra = jnp.asarray(np.where(
+        np.arange(CL)[None, None, :] > CL // 2, -1e9,
+        rng.standard_normal((1, na, CL)) * 0.1).astype(np.float32))
+    scale = 1 / np.sqrt(da)
+    ref = np.asarray(decode_attention_xla(qbd, k4, v4, extra[0], scale))
+    got = np.asarray(decode_attention_pallas(
+        qbd, k4, v4, extra, scale, out_dtype=jnp.float32, interpret=True))
+    np.testing.assert_allclose(got, ref, atol=1e-5, rtol=1e-5)

@@ -234,3 +234,24 @@ def test_pallas_attn_tracks_native_on_block_geometries(rng, case_idx, seg):
     agree = float((got == base).mean())
     assert agree >= 0.90, (
         f"greedy agreement {agree:.3f} on case {case_idx} seg={seg}")
+
+
+@pytest.mark.parametrize("case_idx", [0, 1])
+def test_pallas_attn_native_tracks_native(rng, case_idx):
+    """attn_impl='pallas' with kv native (no quantization anywhere) must
+    track the XLA native sampler at >=98% greedy agreement — the only
+    deviations are dot/softmax accumulation-order rounding."""
+    stride, kernel, blocks, THW = CASES[case_idx]
+    cfg = _cfg(stride, kernel, blocks)
+    m = VideoTransformer(cfg, T=THW[0], H=THW[1], W=THW[2])
+    params, _ = m.init(jax.random.key(0))
+    video = jnp.asarray(
+        rng.integers(0, m.c.nv, size=(2, m.c.nc, *THW)), jnp.int32)
+    key = jax.random.key(5)
+    base = np.asarray(m.sample_video(params, video, key, n_prime=1,
+                                     greedy=True))
+    got = np.asarray(m.sample_video(params, video, key, n_prime=1,
+                                    greedy=True, kv_cache_dtype="native",
+                                    attn_impl="pallas"))
+    agree = float((got == base).mean())
+    assert agree >= 0.98, f"native-pallas agreement {agree:.3f} case {case_idx}"
