@@ -37,8 +37,9 @@ def main():
                         help="stream per-pixel decoder weights as int8")
     parser.add_argument("--attn", default="xla", choices=["xla", "pallas"],
                         help="per-pixel attention impl: 'pallas' = fused-"
-                             "lane int8 decode kernel with native int8 MXU "
-                             "dots (requires --kv int8; supersedes --mm)")
+                             "lane decode kernel (with --kv int8: native "
+                             "int8 MXU dots, supersedes --mm; with --kv "
+                             "native: unquantized bf16 dots)")
     parser.add_argument("--mm", default="native", choices=["native", "int8"],
                         help="run the sampler's attention contractions as "
                              "int8 x int8 MXU dots reading the cache bytes "

@@ -30,8 +30,9 @@ def main():
                         "(per-column scales folded exactly)")
     p.add_argument("--attn", default="xla", choices=["xla", "pallas"],
                    help="per-pixel attention impl: 'pallas' = fused-lane "
-                        "int8 decode kernel with native int8 MXU dots "
-                        "(requires --kv int8; supersedes --mm)")
+                        "decode kernel (with --kv int8: native int8 MXU "
+                        "dots, supersedes --mm; with --kv native: "
+                        "unquantized bf16 dots)")
     p.add_argument("--mm", default="native", choices=["native", "int8"],
                    help="run attention contractions as int8 x int8 MXU dots "
                         "(requires --kv int8; skips the cache dequant)")
