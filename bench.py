@@ -33,8 +33,11 @@ def main():
     parser.add_argument("--iters", type=int, default=5)
     parser.add_argument("--dtype", default="bfloat16", choices=["bfloat16", "float32"],
                         help="sampling weight/activation dtype (softmax/logits stay fp32)")
-    parser.add_argument("--weights", default="native", choices=["native", "int8"],
-                        help="stream per-pixel decoder weights as int8")
+    parser.add_argument("--weights", default="native",
+                        choices=["native", "int8", "int8-pallas"],
+                        help="stream per-pixel decoder weights as int8 "
+                             "('int8-pallas' = native int8 MXU GEMM kernel, "
+                             "quantizes activation rows too)")
     parser.add_argument("--attn", default="xla", choices=["xla", "pallas"],
                         help="per-pixel attention impl: 'pallas' = fused-"
                              "lane decode kernel (with --kv int8: native "

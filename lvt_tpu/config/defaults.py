@@ -169,10 +169,11 @@ _C.TEST.VT_SAMPLER.NUM_SAMPLES = 10
 _C.TEST.VT_SAMPLER.KV_DTYPE = "native"
 _C.TEST.VT_SAMPLER.SEG = 0
 # int8 additionally streams the per-pixel decoder weights (fused QKV, proj,
-# FFN) as int8 with exactly-folded per-column scales
+# FFN) as int8 with exactly-folded per-column scales; "int8-pallas" feeds
+# the int8 bytes to the MXU via the native GEMM kernel (ops/quant_matmul.py)
 _C.TEST.VT_SAMPLER.WEIGHT_DTYPE = "native"
-# "pallas" (requires KV_DTYPE "int8") runs per-pixel attention as the
-# fused-lane int8-MXU decode kernel (ops/cache_attention.py)
+# "pallas" (KV_DTYPE "int8" or "native") runs per-pixel attention as the
+# fused-lane MXU decode kernel (ops/cache_attention.py)
 _C.TEST.VT_SAMPLER.ATTN_IMPL = "xla"
 # FVD (new capability; no reference counterpart): I3D weights as a converted
 # .npz — empty means the stub feature net (metric reported as FVD_stub)

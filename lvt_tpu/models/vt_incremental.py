@@ -31,6 +31,7 @@ from ..ops.cache_attention import (blockdiag_expand, blockdiag_expand_i8,
                                    decode_attention_i8_pallas,
                                    decode_attention_pallas)
 from ..ops.posenc import _signal_np
+from ..ops.quant_matmul import matmul_i8w_pallas
 from .vt import VTConfig, _layer_norm, vt_sample_pixel_channels
 
 
@@ -167,6 +168,10 @@ def sample_slice_incremental(params, c: VTConfig, slice_shape, zl, sl, key,
     int8 convert fuses into the attention contraction), XLA materializes
     the weight dequant for the (b, d) x (d, 3*na*da) matmuls, so traffic
     goes UP. Kept as a correct, tested option for future shapes/backends.
+    "int8-pallas" runs those same int8 weights through the Pallas GEMM
+    kernel (ops/quant_matmul.py): the int8 bytes feed the MXU unconverted
+    (no materialized dequant), at the cost of absmax-quantizing the
+    activation rows to int8 too (~0.4% rel, same order as mm_dtype='int8').
 
     mm_dtype: "int8" (requires kv_dtype="int8") runs the attention
     contractions as native int8 x int8 MXU dots instead of dequantizing the
@@ -194,9 +199,9 @@ def sample_slice_incremental(params, c: VTConfig, slice_shape, zl, sl, key,
     if kv_dtype not in ("native", "int8", "int4"):
         raise ValueError(
             f"kv_dtype must be 'native', 'int8' or 'int4', got {kv_dtype!r}")
-    if weight_dtype not in ("native", "int8"):
-        raise ValueError(
-            f"weight_dtype must be 'native' or 'int8', got {weight_dtype!r}")
+    if weight_dtype not in ("native", "int8", "int8-pallas"):
+        raise ValueError("weight_dtype must be 'native', 'int8' or "
+                         f"'int8-pallas', got {weight_dtype!r}")
     if mm_dtype not in ("native", "int8"):
         raise ValueError(
             f"mm_dtype must be 'native' or 'int8', got {mm_dtype!r}")
@@ -297,7 +302,8 @@ def sample_slice_incremental(params, c: VTConfig, slice_shape, zl, sl, key,
         ], axis=1)
         for lp in dec["layers"]
     ]
-    use_int8_w = weight_dtype == "int8"
+    use_int8_w = weight_dtype in ("int8", "int8-pallas")
+    pallas_w = weight_dtype == "int8-pallas"
     if use_int8_w:
         # quantized ONCE here; inside the pixel scan each matmul streams the
         # int8 bytes and folds the column scales into the product
@@ -307,9 +313,13 @@ def sample_slice_incremental(params, c: VTConfig, slice_shape, zl, sl, key,
         ffn2_q = [_quantize_cols(lp.ffn_w2, cdtype) for lp in dec["layers"]]
 
     def _mm(y, w):
-        """y @ w for native weights, (y @ w_int) * scale for int8."""
+        """y @ w for native weights, (y @ w_int) * scale for int8; the
+        int8-pallas variant adds per-row activation quantization so the
+        int8 bytes feed the MXU directly (ops/quant_matmul.py)."""
         if isinstance(w, tuple):
             wi, s = w
+            if pallas_w:
+                return matmul_i8w_pallas(y, wi, s, out_dtype=cdtype)
             return (y @ wi.astype(cdtype)) * s
         return y @ w
 

@@ -171,6 +171,8 @@ def test_quantize_cols_fold_is_exact(rng):
     ("int8", "int8", "int8", "xla"),
     ("int8", "native", "native", "pallas"),
     ("int8", "int8", "native", "pallas"),
+    ("native", "int8-pallas", "native", "xla"),
+    ("int8", "int8-pallas", "native", "pallas"),
 ])
 def test_int8_modes_track_native_greedy(rng, kv, weights, mm, attn):
     """int8 KV caches / int8 streamed weights / int8 MXU attention dots are

@@ -25,9 +25,12 @@ def main():
     p.add_argument("--batch", type=int, default=8)
     p.add_argument("--iters", type=int, default=3)
     p.add_argument("--kv", default="native", choices=["native", "int8", "int4"])
-    p.add_argument("--weights", default="native", choices=["native", "int8"],
+    p.add_argument("--weights", default="native",
+                   choices=["native", "int8", "int8-pallas"],
                    help="stream per-pixel decoder weights as int8 "
-                        "(per-column scales folded exactly)")
+                        "(per-column scales folded exactly; 'int8-pallas' "
+                        "= native int8 MXU GEMM kernel, quantizes "
+                        "activation rows too)")
     p.add_argument("--attn", default="xla", choices=["xla", "pallas"],
                    help="per-pixel attention impl: 'pallas' = fused-lane "
                         "decode kernel (with --kv int8: native int8 MXU "
