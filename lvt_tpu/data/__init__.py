@@ -1,6 +1,7 @@
 from .build import build_test_loader, build_train_loader, get_dataset_dicts
 from .catalog import DatasetCatalog, MetadataCatalog
 from .mapper import DatasetMapper
+from .preprocess import center_crop_resize, center_crop_square
 
 from . import datasets  # noqa: F401 — registers builtins
 
@@ -10,5 +11,7 @@ __all__ = [
     "DatasetMapper",
     "build_test_loader",
     "build_train_loader",
+    "center_crop_resize",
+    "center_crop_square",
     "get_dataset_dicts",
 ]

@@ -10,14 +10,39 @@ square, LANCZOS-resize to --img_size, write
 import argparse
 import os
 import subprocess
+import sys
 from concurrent.futures import ProcessPoolExecutor
 from glob import glob
 from shutil import rmtree
 
+import numpy as np
 from PIL import Image
 
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
 
-def process_video(path, output_dir, img_size):
+_DEVICE_CHUNK = 64  # frames per device batch (bounds HBM/host memory)
+
+
+def _device_crop_resize(frames, img_size):
+    """Batched on-device center-crop + Lanczos resize of (N, H, W, 3) uint8.
+
+    The jit-compiled equivalent of the per-frame PIL loop below
+    (lvt_tpu.data.preprocess; reference scripts/convert_kinetics.py:41-47),
+    chunked so arbitrarily long videos stay within device memory. Matches
+    PIL within 1/255 at the Kinetics downscale (>=3.75x); see
+    tests/test_preprocess.py for the small-scale-factor bound.
+    """
+    import jax
+
+    from lvt_tpu.data.preprocess import center_crop_resize
+
+    fn = jax.jit(lambda x: center_crop_resize(x, img_size))
+    out = [np.asarray(fn(frames[i:i + _DEVICE_CHUNK]))
+           for i in range(0, len(frames), _DEVICE_CHUNK)]
+    return np.concatenate(out, axis=0)
+
+
+def process_video(path, output_dir, img_size, preprocess="pil"):
     head, name = os.path.split(path)
     cls = os.path.basename(head)
     save_dir = os.path.join(output_dir, cls, name.split(".")[0])
@@ -37,14 +62,21 @@ def process_video(path, output_dir, img_size):
         return 0
 
     frames = glob(os.path.join(save_dir, "*.png"))
-    for frame in frames:
-        img = Image.open(frame)
-        width, height = img.size
-        dim = min(width, height)
-        left, top = (width - dim) / 2, (height - dim) / 2
-        img = img.crop((left, top, left + dim, top + dim))
-        img = img.resize((img_size, img_size), Image.LANCZOS)
-        img.save(frame)
+    if preprocess == "device":
+        stack = np.stack([np.asarray(Image.open(f).convert("RGB"))
+                          for f in frames], axis=0)
+        out = _device_crop_resize(stack, img_size)
+        for f, arr in zip(frames, out):
+            Image.fromarray(arr).save(f)
+    else:
+        for frame in frames:
+            img = Image.open(frame)
+            width, height = img.size
+            dim = min(width, height)
+            left, top = (width - dim) / 2, (height - dim) / 2
+            img = img.crop((left, top, left + dim, top + dim))
+            img = img.resize((img_size, img_size), Image.LANCZOS)
+            img.save(frame)
     print("Finished:", log_name, f"({len(frames)} frames)")
     return len(frames)
 
@@ -56,12 +88,18 @@ def main():
     parser.add_argument("--output_dir", required=True)
     parser.add_argument("--img_size", type=int, default=64)
     parser.add_argument("--jobs", type=int, default=8)
+    parser.add_argument("--preprocess", choices=["pil", "device"], default="pil",
+                        help="'device' = batched on-device (jit) center-crop "
+                             "+ Lanczos resize per video instead of the "
+                             "per-frame host PIL loop; matches PIL within "
+                             "1/255 at the Kinetics downscale")
     args = parser.parse_args()
 
     videos = sorted(glob(os.path.join(args.input_dir, "*", "*.mp4")))
     print(f"{len(videos)} videos")
     with ProcessPoolExecutor(args.jobs) as pool:
-        futures = [pool.submit(process_video, v, args.output_dir, args.img_size)
+        futures = [pool.submit(process_video, v, args.output_dir, args.img_size,
+                               args.preprocess)
                    for v in videos]
         total = sum(f.result() for f in futures)
     print(f"Done: {total} frames")

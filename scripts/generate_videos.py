@@ -27,6 +27,11 @@ def parse_args():
     parser.add_argument("--config-file", required=True, metavar="FILE")
     parser.add_argument("--video-dir", required=True,
                         help="folder with priming frame pngs")
+    parser.add_argument("--img-size", type=int, default=0,
+                        help="if >0, center-crop + Lanczos-resize the priming "
+                             "frames to this size ON DEVICE inside the jitted "
+                             "encode (lvt_tpu.data.preprocess); 0 = use the "
+                             "frames as loaded")
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("opts", default=None, nargs=argparse.REMAINDER)
     return parser.parse_args()
@@ -75,9 +80,16 @@ def main():
         frames = frames / 255.0
     print(f"Loaded {len(frames)} priming frames")
 
-    codes = jax.jit(lambda f: jnp.transpose(
-        vqvae.encode(vq_params, vq_state, vqvae.normalize(f)),
-        (3, 0, 1, 2)))(jnp.asarray(frames))  # (nc, n_prime, h, w)
+    def encode_priming(f):
+        if args.img_size > 0:
+            from lvt_tpu.data.preprocess import center_crop_resize
+
+            f = center_crop_resize(f, args.img_size)  # on-device, same jit
+        return jnp.transpose(
+            vqvae.encode(vq_params, vq_state, vqvae.normalize(f)),
+            (3, 0, 1, 2))
+
+    codes = jax.jit(encode_priming)(jnp.asarray(frames))  # (nc, n_prime, h, w)
     nc, _, h, w = codes.shape
 
     # --- stage 1: VT model + weights on the measured (T, h, w) geometry
