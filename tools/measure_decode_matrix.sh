@@ -24,6 +24,13 @@ run python bench.py --skip-baseline --attn pallas --kv native --seg 16
 run python bench.py --skip-baseline --weights int8-pallas  # weight kernel only
 run python bench.py --skip-baseline --attn pallas --weights int8-pallas
 
+# batch lever re-check: the old "b512 flat" reading predates the
+# input-staging fix (it timed a 2.5 s host->device tunnel copy every
+# iteration); with staging fixed, b512 amortizes the 42 MB/pixel-step
+# weight stream over 2x samples (est. +5-10%; int8 caches ~4.3 GB fit)
+run python bench.py --skip-baseline --batch 512
+run python bench.py --skip-baseline --batch 512 --weights int8-pallas
+
 # DSSVT (block-local caches; current best 553.0 fps b512 seg16)
 run python tools/bench_sample.py --config configs/vt/DSSVT.yaml --batch 512 --kv int8 --seg 16
 run python tools/bench_sample.py --config configs/vt/DSSVT.yaml --batch 512 --kv int8 --seg 16 --attn pallas
