@@ -27,7 +27,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.attention import BlockAttnParams, relative_bias
-from ..ops.cache_attention import (blockdiag_expand, blockdiag_expand_i8,
+from ..ops.cache_attention import (blockdiag_expand,
                                    decode_attention_i8_pallas,
                                    decode_attention_pallas)
 from ..ops.posenc import _signal_np
@@ -404,7 +404,7 @@ def sample_slice_incremental(params, c: VTConfig, slice_shape, zl, sl, key,
                     qi = jnp.clip(jnp.round(q / (sq + 1e-8)),
                                   -127.0, 127.0).astype(jnp.int8)
                     out = decode_attention_i8_pallas(
-                        blockdiag_expand_i8(qi), sq.astype(jnp.float32),
+                        blockdiag_expand(qi), sq.astype(jnp.float32),
                         kc, new_ks[l], vc, new_vs[l], extra,
                         1.0 / np.sqrt(da), out_dtype=cdtype)  # (b, na*da)
                 else:

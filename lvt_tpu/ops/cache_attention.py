@@ -131,6 +131,15 @@ def _pick_btile(b: int) -> int:
     return 1
 
 
+def _parallel_compiler_params(pltpu):
+    """CompilerParams marking the (single) grid dim 'parallel' so Mosaic
+    overlaps the per-tile DMAs; None on older pallas without the field."""
+    try:
+        return pltpu.CompilerParams(dimension_semantics=("parallel",))
+    except TypeError:
+        return None
+
+
 def decode_attention_i8_pallas(qi_bd, sq, k4, ks, v4, vs, extra, scale, *,
                                out_dtype=jnp.bfloat16,
                                btile: Optional[int] = None,
@@ -154,6 +163,9 @@ def decode_attention_i8_pallas(qi_bd, sq, k4, ks, v4, vs, extra, scale, *,
     da = d // na
     if btile is None:
         btile = _pick_btile(b)
+    assert b % btile == 0, \
+        f"btile={btile} must divide the batch ({b}): the grid would " \
+        f"silently skip the trailing {b % btile} rows"
 
     def kernel(q_ref, sq_ref, k_ref, ks_ref, v_ref, vs_ref, e_ref, o_ref):
         lane = jax.lax.broadcasted_iota(jnp.int32, (na, d), 1)
@@ -181,12 +193,8 @@ def decode_attention_i8_pallas(qi_bd, sq, k4, ks, v4, vs, extra, scale, *,
             o_ref[i] = jnp.sum(outf * mask, axis=0,
                                keepdims=True).astype(o_ref.dtype)
 
-    try:
-        # batch-tile programs are independent: let Mosaic overlap their DMAs
-        compiler_params = pltpu.CompilerParams(
-            dimension_semantics=("parallel",))
-    except TypeError:  # older pallas without the field
-        compiler_params = None
+    # batch-tile programs are independent: let Mosaic overlap their DMAs
+    compiler_params = _parallel_compiler_params(pltpu)
     return pl.pallas_call(
         kernel,
         grid=(b // btile,),
@@ -212,14 +220,6 @@ def decode_attention_i8_pallas(qi_bd, sq, k4, ks, v4, vs, extra, scale, *,
         out_shape=jax.ShapeDtypeStruct((b, 1, d), out_dtype),
         interpret=interpret,
     )(qi_bd, sq, k4, ks, v4, vs, extra).reshape(b, d)
-
-
-def blockdiag_expand_i8(qi):
-    """(b, na, da) int8 -> (b, na, na*da) int8 with head a's values in
-    lanes [a*da, (a+1)*da) of row a and zeros elsewhere."""
-    b, na, da = qi.shape
-    eye = jnp.eye(na, dtype=jnp.int8)
-    return (qi[:, :, None, :] * eye[None, :, :, None]).reshape(b, na, na * da)
 
 
 def blockdiag_expand(q):
@@ -268,6 +268,9 @@ def decode_attention_pallas(qbd, k4, v4, extra, scale, *,
     da = d // na
     if btile is None:
         btile = _pick_btile(b)
+    assert b % btile == 0, \
+        f"btile={btile} must divide the batch ({b}): the grid would " \
+        f"silently skip the trailing {b % btile} rows"
 
     def kernel(q_ref, k_ref, v_ref, e_ref, o_ref):
         lane = jax.lax.broadcasted_iota(jnp.int32, (na, d), 1)
@@ -289,11 +292,7 @@ def decode_attention_pallas(qbd, k4, v4, extra, scale, *,
             o_ref[i] = jnp.sum(out * mask, axis=0,
                                keepdims=True).astype(o_ref.dtype)
 
-    try:
-        compiler_params = pltpu.CompilerParams(
-            dimension_semantics=("parallel",))
-    except TypeError:
-        compiler_params = None
+    compiler_params = _parallel_compiler_params(pltpu)
     return pl.pallas_call(
         kernel,
         grid=(b // btile,),

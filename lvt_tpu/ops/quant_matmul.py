@@ -78,6 +78,9 @@ def matmul_i8w_pallas(y, wi, sw, *,
     sw2 = sw.reshape(1, n).astype(jnp.float32)
     if btile is None:
         btile = _pick_btile(b)
+    assert b % btile == 0, \
+        f"btile={btile} must divide the batch ({b}): the grid would " \
+        f"silently skip the trailing {b % btile} rows"
 
     def kernel(y_ref, w_ref, s_ref, o_ref):
         yf = y_ref[...].astype(jnp.float32)  # (btile, d)
@@ -90,11 +93,9 @@ def matmul_i8w_pallas(y, wi, sw, *,
         o_ref[...] = (acc.astype(jnp.float32) * sy * s_ref[...]
                       ).astype(o_ref.dtype)
 
-    try:
-        compiler_params = pltpu.CompilerParams(
-            dimension_semantics=("parallel",))
-    except TypeError:  # older pallas without the field
-        compiler_params = None
+    from .cache_attention import _parallel_compiler_params
+
+    compiler_params = _parallel_compiler_params(pltpu)
     return pl.pallas_call(
         kernel,
         grid=(b // btile,),

@@ -26,14 +26,14 @@ def test_decode_attention_i8_kernel_matches_xla(rng):
     """The round-3 int8-MXU-dot decode kernel (fused-lane caches,
     block-diagonal q) must match its XLA reference formulation exactly in
     interpret mode — both run the identical int8 dot + f32 softmax math."""
-    from lvt_tpu.ops.cache_attention import (blockdiag_expand_i8,
+    from lvt_tpu.ops.cache_attention import (blockdiag_expand,
                                              decode_attention_i8_pallas,
                                              decode_attention_i8_xla)
 
     b, na, CL, da = 4, 2, 32, 16
     d = na * da
     qi = jnp.asarray(rng.integers(-127, 128, size=(b, na, da)).astype(np.int8))
-    qbd = blockdiag_expand_i8(qi)
+    qbd = blockdiag_expand(qi)
     # block-diagonal structure: row a occupies exactly lanes [a*da,(a+1)*da)
     dense = np.zeros((b, na, d), np.int8)
     for a in range(na):
