@@ -30,8 +30,9 @@ from ..ops.attention import BlockAttnParams, relative_bias
 from ..ops.cache_attention import (blockdiag_expand,
                                    decode_attention_i8_pallas,
                                    decode_attention_pallas)
+from ..ops.fused_layer import _wqkv_flat
 from ..ops.posenc import _signal_np
-from ..ops.quant_matmul import matmul_i8w_pallas
+from ..ops.quant_matmul import matmul_i8w_pallas, quantize_rows_i8
 from .vt import VTConfig, _layer_norm, vt_sample_pixel_channels
 
 
@@ -293,15 +294,10 @@ def sample_slice_incremental(params, c: VTConfig, slice_shape, zl, sl, key,
                               rel_np, bid_np))
     pos_rows = pos_rows.astype(cdtype)
     pos_iota = jnp.arange(thw)
-    # fused per-layer QKV: one (d, 3*na*da) matmul per layer instead of three
-    wqkv = [
-        jnp.concatenate([
-            lp.wq.transpose(1, 0, 2).reshape(c.d, na * da),
-            lp.wk.transpose(1, 0, 2).reshape(c.d, na * da),
-            lp.wv.transpose(1, 0, 2).reshape(c.d, na * da),
-        ], axis=1)
-        for lp in dec["layers"]
-    ]
+    # fused per-layer QKV: one (d, 3*na*da) matmul per layer instead of
+    # three — the [q heads | k heads | v heads] column layout is owned by
+    # ops/fused_layer._wqkv_flat (one contract, two consumers)
+    wqkv = [_wqkv_flat(lp.wq, lp.wk, lp.wv) for lp in dec["layers"]]
     use_int8_w = weight_dtype in ("int8", "int8-pallas")
     pallas_w = weight_dtype == "int8-pallas"
     if use_int8_w:
@@ -400,11 +396,9 @@ def sample_slice_incremental(params, c: VTConfig, slice_shape, zl, sl, key,
                     pos_iota[None, None, :cache_len] > p_loc,
                     jnp.float32(-1e9), row[None])
                 if use_int8:
-                    sq = jnp.max(jnp.abs(q), axis=-1, keepdims=True) / 127.0
-                    qi = jnp.clip(jnp.round(q / (sq + 1e-8)),
-                                  -127.0, 127.0).astype(jnp.int8)
+                    qi, sq = quantize_rows_i8(q)
                     out = decode_attention_i8_pallas(
-                        blockdiag_expand(qi), sq.astype(jnp.float32),
+                        blockdiag_expand(qi), sq,
                         kc, new_ks[l], vc, new_vs[l], extra,
                         1.0 / np.sqrt(da), out_dtype=cdtype)  # (b, na*da)
                 else:
@@ -416,13 +410,11 @@ def sample_slice_incremental(params, c: VTConfig, slice_shape, zl, sl, key,
                     # native int8 x int8 MXU dot: quantize q per (b, head)
                     # so the cache bytes feed the MXU unconverted; dequant
                     # on the small logits instead of the big cache
-                    sq = jnp.max(jnp.abs(q), axis=-1, keepdims=True) / 127.0
-                    qi = jnp.clip(jnp.round(q / (sq + 1e-8)),
-                                  -127.0, 127.0).astype(jnp.int8)
+                    qi, sq = quantize_rows_i8(q)
                     logits = jnp.einsum(
                         "bak,bajk->baj", qi, kc,
                         preferred_element_type=jnp.int32).astype(jnp.float32)
-                    logits = logits * (sq.astype(jnp.float32) / np.sqrt(da))
+                    logits = logits * (sq / np.sqrt(da))
                 else:
                     logits = jnp.einsum(
                         "bak,bajk->baj", q, kc.astype(cdtype),
@@ -433,20 +425,25 @@ def sample_slice_incremental(params, c: VTConfig, slice_shape, zl, sl, key,
                 logits = logits + row[None]  # (b, na, cl)
                 logits = jnp.where(pos_iota[None, None, :cache_len] > p_loc,
                                    jnp.float32(-1e9), logits)
-                wgt = jax.nn.softmax(logits, axis=-1).astype(cdtype)
-                if use_int8:
-                    wgt = wgt * new_vs[l]  # fold V scales into the weights
                 if int8_mm:
-                    # fold the V scales in FIRST (above), then quantize the
-                    # weight row per (b, head): sum_j w'_int_j V_int_j * sw
-                    sw = jnp.max(jnp.abs(wgt), axis=-1, keepdims=True)
-                    sw = (sw / 127.0).astype(cdtype)
-                    wi = jnp.clip(jnp.round(wgt / (sw + 1e-8)),
-                                  -127.0, 127.0).astype(jnp.int8)
+                    # fold the V scales in fp32 FIRST, then quantize the
+                    # weight row per (b, head): sum_j w'_int_j V_int_j * sw.
+                    # All scale math + the int32 dequant stay fp32 — the
+                    # same rounding as decode_attention_i8_pallas (casting
+                    # the int32 accumulator to bf16 first would stack a
+                    # ~0.2% mantissa error on the int8 rounding)
+                    wgt_f = jax.nn.softmax(logits, axis=-1)  # f32
+                    if use_int8:
+                        wgt_f = wgt_f * new_vs[l].astype(jnp.float32)
+                    wi, sw = quantize_rows_i8(wgt_f)
                     out = jnp.einsum("baj,bajk->bak", wi, vc,
                                      preferred_element_type=jnp.int32)
-                    out = (out.astype(cdtype) * sw).reshape(b, na * da)
+                    out = (out.astype(jnp.float32) * sw
+                           ).astype(cdtype).reshape(b, na * da)
                 else:
+                    wgt = jax.nn.softmax(logits, axis=-1).astype(cdtype)
+                    if use_int8:
+                        wgt = wgt * new_vs[l]  # fold V scales into the weights
                     out = jnp.einsum("baj,bajk->bak", wgt,
                                      vc.astype(cdtype)).reshape(b, na * da)
             x = _mm(out, proj_q[l] if use_int8_w else lp.proj) + x

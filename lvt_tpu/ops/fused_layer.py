@@ -450,10 +450,12 @@ def _fused_layer_ad(masked: bool):
 
     @jax.custom_vjp
     def f(tok, p, bias):
-        out, _ = fused_layer_tokens_pallas(
-            tok, p, bias, _mask(tok.shape[1]), with_x2=True,
+        # no-grad forward (eval, the sampler's per-slice encoder pass):
+        # single-output variant — the unused x2 would cost an (nb, n, d)
+        # HBM write per layer that XLA cannot DCE through the custom call
+        return fused_layer_tokens_pallas(
+            tok, p, bias, _mask(tok.shape[1]), with_x2=False,
             interpret=_FORCE_INTERPRET)
-        return out
 
     def fwd(tok, p, bias):
         out, x2 = fused_layer_tokens_pallas(
