@@ -42,7 +42,8 @@ def main():
     p.add_argument("--seg", type=int, default=0, help="cache segment size "
                    "(0 = heuristic max(64, block_run//4); capped at the "
                    "block run length)")
-    p.add_argument("--dtype", default="bfloat16")
+    p.add_argument("--dtype", default="bfloat16",
+                   choices=["bfloat16", "float32"])
     p.add_argument("--trace", default="", help="capture a profiler trace of "
                    "one timed iteration into this directory")
     args = p.parse_args()
