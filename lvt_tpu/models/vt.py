@@ -499,7 +499,13 @@ class VideoTransformer:
         s = min(self.c.n_prime, plan.num_slices - 1)
         slice_idx = jnp.asarray([s], jnp.int32)
         ctx, gt_slice, _ = self.prepare_slices(video, slice_idx)
-        zl = vt_encode(params["netG"], self.c, ctx, slice_idx,
+        # class-conditional models need the class embedding concat here too
+        # (same batch convention as loss(); without it the encoder projector
+        # sees de channels where it was built for 2*de)
+        class_idx = batch.get("class") if self.c.class_num > 0 else None
+        if class_idx is not None:
+            class_idx = jnp.asarray(class_idx[:1])
+        zl = vt_encode(params["netG"], self.c, ctx, slice_idx, class_idx,
                        use_pallas=self.use_pallas)
         t, h, w = plan.slice_shape
         primed = jnp.zeros((t * h * w,), bool)
@@ -522,8 +528,8 @@ class VideoTransformer:
         """Teacher-forced logits for all S slices, scattered to full-video
         layout (reference calculate_logits_for_entire_video, vt.py:230-282).
 
-        video: (b, nc, T, H, W) -> logits (b, T, H, W, nc, nv), plus the
-        prime-frame ignore mask (T,) broadcastable.
+        video: (b, nc, T, H, W) -> logits (b, T, H, W, nc, nv). (The caller
+        applies its own prime-frame ignore mask; see engine/defaults.py.)
         """
         b, nc, T, H, W = video.shape
         plan = self._plan_for(T, H, W)

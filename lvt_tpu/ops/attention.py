@@ -314,6 +314,12 @@ def _attention_core_pallas_ad(masked: bool):
 def attention_core(q, k, v, bias, mask, *, use_pallas: Optional[bool] = None):
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
+    if use_pallas and q.shape[1] * q.shape[2] ** 2 > _PALLAS_BWD_MAX_ELEMS:
+        # same size gate as the backward: the forward kernel pins the full
+        # (na, n, n) fp32 bias in VMEM, so geometries past the gate would
+        # fail Mosaic compilation in the forward while the backward
+        # 'safely' fell back — fall back whole-hog instead
+        use_pallas = False
     if use_pallas:
         # the only masks used are the causal triangle or none; the AD wrapper
         # reconstructs them from `masked` so the mask needn't be traced
@@ -387,9 +393,14 @@ def init_block_attn(key, block_size, na: int, d: int, da: int) -> BlockAttnParam
 
 
 def _layer_norm(x, scale, bias, eps=1e-5):
-    mean = jnp.mean(x, axis=-1, keepdims=True)
-    var = jnp.var(x, axis=-1, keepdims=True)
-    return (x - mean) * jax.lax.rsqrt(var + eps) * scale + bias
+    # stats in fp32 — same recipe as models/vt.py's _layer_norm and the
+    # fused-layer kernel's in-VMEM LN (bf16 statistics destabilize LN and
+    # made the XLA fallback path diverge from the fused path)
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.var(x32, axis=-1, keepdims=True)
+    y = (x32 - mean) * jax.lax.rsqrt(var + eps)
+    return (y * scale.astype(jnp.float32) + bias.astype(jnp.float32)).astype(x.dtype)
 
 
 def mha_tokens(x: jnp.ndarray, p: BlockAttnParams, bias: jnp.ndarray,

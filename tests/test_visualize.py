@@ -60,3 +60,35 @@ def test_vt_visualize(rng):
     assert set(images) == {"gt_slice", "sampled_slice"}
     for img in images.values():
         assert img.dtype == np.uint8 and img.ndim == 3
+
+
+def test_vt_visualize_class_conditional(rng):
+    """Class-conditional VT (CLASS_NUM > 0): visualize_training must thread
+    the class index through vt_encode — without it the encoder projector
+    (built for 2*de channels) sees de channels and shape-errors, which
+    trainer.py's catch-all would silently swallow at train time."""
+    cfg = get_cfg()
+    cfg.MODEL.META_ARCHITECTURE = "VideoTransformerModel"
+    cfg.MODEL.AUTOREGRESSIVE.NAME = "VideoTransformer"
+    v = cfg.MODEL.AUTOREGRESSIVE.VT
+    v.NC, v.NV = 2, 8
+    v.KERNEL, v.STRIDE = (3, 1, 1), (4, 1, 1)
+    v.D, v.DA, v.DE = 32, 16, 16
+    v.BLOCKS_E = ((1, 4, 4),) * 2
+    v.N_HEAD_E = (2, 2)
+    v.BLOCKS_D = ((1, 4, 4),) * 2
+    v.N_HEAD_D = (2, 2)
+    v.N_PRIME = 1
+    v.SHARE_P = False
+    v.CLASS_NUM = 5
+    m = VideoTransformer(cfg, T=4, H=4, W=4)
+    params, state = m.init(jax.random.key(0))
+    batch = {
+        "video": jnp.asarray(
+            rng.integers(0, 8, size=(2, 2, 4, 4, 4)), jnp.int32),
+        "class": jnp.asarray(rng.integers(0, 5, size=(2,)), jnp.int32),
+    }
+    images = m.visualize_training(params, state, batch)
+    assert set(images) == {"gt_slice", "sampled_slice"}
+    for img in images.values():
+        assert img.dtype == np.uint8 and img.ndim == 3
