@@ -109,6 +109,10 @@ class DatasetMapper:
                         seq = seq[:, None]
                     out["video"] = np.ascontiguousarray(
                         seq.transpose(1, 0, 2, 3)).astype(np.int32)
+                    # the raw codes are NOT RGB frames: drop the stale key or
+                    # downstream frame consumers (FVDEvaluator's real side)
+                    # would treat code indices as pixels
+                    del out["image_sequence"]
                 else:
                     seq = seq.astype(np.float32)
                     if self.scale_zeroone:

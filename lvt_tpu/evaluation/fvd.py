@@ -135,6 +135,10 @@ class FVDEvaluator(DatasetEvaluator):
         # co-running VTSampler
         self.vqvae, self._vq_params, self._vq_state, vq_cfg = load_paired_vqvae(cfg)
         self._scale01 = vq_cfg.INPUT.SCALE_TO_ZEROONE
+        # the dataloader's frame scaling follows the VT cfg (the mapper
+        # divides by 255 when INPUT.SCALE_TO_ZEROONE) — needed to bring the
+        # real side back to the [0, 255] the feature net expects
+        self._input_scale01 = cfg.INPUT.SCALE_TO_ZEROONE
         self._decode_shared = decode_codes_fn(
             self.vqvae, self._vq_params, self._vq_state, self._scale01)
 
@@ -173,15 +177,22 @@ class FVDEvaluator(DatasetEvaluator):
             # the true real-vs-generated distance — comparable across runs
             # of this framework, NOT against published FVD tables.
             if "image_sequence" in inp:
-                real = np.clip(np.asarray(inp["image_sequence"], np.float32),
-                               0.0, 255.0)
+                real = np.asarray(inp["image_sequence"], np.float32)
+                if self._input_scale01:
+                    # the mapper delivered [0, 1]-scaled frames; the feature
+                    # net expects [0, 255] (the fake side is decoded to that
+                    # range by decode_codes_fn)
+                    real = real * 255.0
+                real = np.clip(real, 0.0, 255.0)
             else:
                 real = self._codes_to_rgb(np.asarray(inp["video"]))
             self._real.append(np.asarray(self._features(real[None]))[0])
-            for sample in out["samples"]:
-                sample = np.asarray(sample)
-                fake = self._codes_to_rgb(sample)
-                self._fake.append(np.asarray(self._features(fake[None]))[0])
+            # one batched feature call over all samples of this output
+            # (per-sample batch-1 calls serialize device round-trips)
+            if len(out["samples"]):
+                fakes = np.stack([self._codes_to_rgb(np.asarray(s))
+                                  for s in out["samples"]])
+                self._fake.extend(np.asarray(self._features(fakes)))
 
     def evaluate(self):
         real, fake = self._real, self._fake

@@ -46,6 +46,11 @@ def _fake_tf_dump(flat):
             dump[conv.TF_PREFIX + "Logits/Conv3d_0c_1x1/conv_3d/b"] = arr
         else:
             unit, leaf = key.rsplit("/", 1)
+            # reproduce the canonical checkpoint's naming quirk (the real
+            # deepmind dump calls Mixed_5b's second Branch_2 conv
+            # 'Conv3d_0a_3x3') so the converter's alias is exercised
+            unit = unit.replace("Mixed_5b/Branch_2/Conv3d_0b_3x3",
+                                "Mixed_5b/Branch_2/Conv3d_0a_3x3")
             if leaf == "w":
                 dump[conv.TF_PREFIX + unit + "/conv_3d/w"] = arr
             else:
@@ -269,3 +274,16 @@ def test_cli_end_to_end(ref_flat, tmp_path):
     assert "400" in r.stdout or os.path.exists(out)
     tree = load_i3d_npz(out)
     assert _flatten(tree).keys() == ref_flat.keys()
+
+
+def test_fold_bn_rejects_nonpositive_gamma():
+    """The variance fold squares gamma (sign lost): non-positive gammas
+    must refuse conversion instead of silently sign-flipping channels."""
+    c = 4
+    good = np.ones(c, np.float32)
+    for bad_val in (0.0, -0.5):
+        gamma = good.copy()
+        gamma[1] = bad_val
+        with pytest.raises(ValueError, match="gamma"):
+            conv._fold_bn(gamma, np.zeros(c), np.zeros(c), np.ones(c),
+                          conv.EPS_I3D)

@@ -228,3 +228,31 @@ def test_fvd_evaluator_with_i3d_weights(tmp_path):
     ev.process(inputs, outputs)
     val = ev.evaluate()["generation"]["FVD"]
     assert np.isfinite(val) and val >= 0
+
+
+def test_fvd_real_side_rescales_scale01_frames(tmp_path):
+    """With INPUT.SCALE_TO_ZEROONE the mapper delivers [0, 1] frames; the
+    evaluator must bring them back to the [0, 255] range the feature net
+    (and the VQ-decoded fake side) uses — otherwise real features collapse
+    to near-constant and the FVD measures the scaling artifact."""
+    from lvt_tpu.config import get_cfg
+
+    vq_path = tmp_path / "vq.yaml"
+    vq_path.write_text(VQ_CFG)
+
+    rng = np.random.default_rng(5)
+    frames255 = rng.random((4, 8, 8, 3)).astype(np.float32) * 255.0
+    video = rng.integers(0, 8, (2, 4, 4, 4))
+    out = [{"samples": [video.copy(), video.copy()]}]
+
+    feats = {}
+    for scale01 in (False, True):
+        cfg = get_cfg()
+        cfg.TEST.VT_SAMPLER.VQ_VAE.CFG = str(vq_path)
+        cfg.INPUT.SCALE_TO_ZEROONE = scale01
+        ev = FVDEvaluator(cfg, "toy", distributed=False)
+        seq = frames255 / 255.0 if scale01 else frames255
+        ev.process([{"image_sequence": seq, "video": video}], out)
+        feats[scale01] = np.stack(ev._real)
+
+    np.testing.assert_allclose(feats[True], feats[False], rtol=1e-5)

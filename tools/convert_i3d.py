@@ -90,6 +90,13 @@ def convert_tf_npz(src: dict) -> dict:
     for name, arr in src.items():
         arr = np.asarray(arr)
         key = name[len(TF_PREFIX):] if name.startswith(TF_PREFIX) else name
+        # the canonical sonnet model names Mixed_5b's SECOND Branch_2 conv
+        # 'Conv3d_0a_3x3' (an original-code naming quirk kept for checkpoint
+        # compatibility; every other Mixed block uses 0b) — our schema uses
+        # the regular name, so alias it or the genuine deepmind dump fails
+        # validation
+        key = key.replace("Mixed_5b/Branch_2/Conv3d_0a_3x3/",
+                          "Mixed_5b/Branch_2/Conv3d_0b_3x3/")
         if key.startswith("Logits/"):
             if key.endswith("conv_3d/w"):
                 out["Logits/w"] = arr.astype(np.float32)
@@ -114,6 +121,16 @@ def convert_tf_npz(src: dict) -> dict:
 def _fold_bn(gamma, beta, mean, var, eps_src):
     """Fold a gamma-bearing BN into i3d_apply's fixed-eps, beta-only form."""
     gamma = np.asarray(gamma, np.float64)
+    if not np.all(gamma > 0):
+        # the fold squares gamma: a non-positive gamma would silently
+        # sign-flip (or inf out) that channel's activations. Pretrained
+        # I3D BN gammas are strictly positive; anything else needs a
+        # different fold (into the conv weights), so refuse loudly.
+        bad = int(np.sum(gamma <= 0))
+        raise ValueError(
+            f"{bad} BN gamma(s) <= 0: the variance fold discards gamma's "
+            f"sign, so this checkpoint cannot be converted bit-exactly — "
+            f"fold gamma into the conv weights instead")
     var_eff = (np.asarray(var, np.float64) + eps_src) / (gamma * gamma) - EPS_I3D
     return (np.asarray(beta, np.float32), np.asarray(mean, np.float32),
             var_eff.astype(np.float32))
