@@ -43,11 +43,17 @@ class GanTrainer(Trainer):
         assert hasattr(self.model, "discriminator_loss"), (
             "GAN_MODE_ON needs a model with a discriminator; the reference "
             "ships none (vidgen has no discriminator module)")
+        assert cfg.SOLVER.ACCUMULATION_STEPS == 1, (
+            "GanTrainer calls optimizer.update every iteration and does not "
+            "implement gradient accumulation; its LR-schedule count scaling "
+            "(solver/build.py) would also be wrong with A > 1")
         self.d_update_ratio = cfg.SOLVER.D_UPDATE_RATIO
         self.d_init_iters = cfg.SOLVER.D_INIT_ITERS
         self.supervised_max_iter = cfg.SOLVER.SUPERVISED_MAX_ITER
 
-        d_params = self.model.init_discriminator(jax.random.key(max(cfg.SEED, 0) + 7))
+        # derive from the seed the base trainer actually used (drawn fresh
+        # when cfg.SEED <= 0), keeping G and D inits consistent
+        d_params = self.model.init_discriminator(jax.random.key(self.seed + 7))
         self.d_optimizer = build_optimizer(cfg, suffix="_D")
         self.d_opt_state = self.d_optimizer.init(d_params)
         self.d_params = d_params

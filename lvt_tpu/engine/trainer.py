@@ -29,6 +29,7 @@ from ..checkpoint import latest_checkpoint, load_checkpoint
 from ..models import build_model, param_count
 from ..parallel.mesh import batch_sharding, mesh_from_cfg, replicated
 from ..solver import build_optimizer
+from ..utils.env import seed_all_rng
 from .train_loop import TrainerBase
 
 logger = logging.getLogger(__name__)
@@ -114,7 +115,11 @@ class Trainer(TrainerBase):
         self.mesh = mesh if mesh is not None else mesh_from_cfg(cfg)
         self.metrics_period = 20
 
-        seed = cfg.SEED if cfg.SEED > 0 else 0
+        # SEED <= 0 means "draw a fresh seed" (reference convention,
+        # utils/env.seed_all_rng); a fixed fallback would make every
+        # default-config run bitwise identical
+        seed = cfg.SEED if cfg.SEED > 0 else seed_all_rng(-1)
+        self.seed = seed  # the seed actually used (drawn when cfg.SEED <= 0)
         init_key = jax.random.key(seed)
         self._step_key = jax.random.key(seed + 1)
 
@@ -182,9 +187,10 @@ class Trainer(TrainerBase):
                 logger.warning(f"visualize_training failed: {e}")
 
         self.state, metrics = self._train_step(self.state, batch, self._step_key)
+        # flushed by after_step every metrics_period iterations (and at the
+        # final iteration) — metrics stay device-side until then so the
+        # host sync never paces the step
         self._pending_metrics.append((self.iter, data_time, metrics))
-        if len(self._pending_metrics) >= self.metrics_period:
-            self.flush_metrics()
 
     def _put_batch(self, batch):
         """Move numeric batch fields onto the mesh; drop host-side metadata
@@ -218,10 +224,11 @@ class Trainer(TrainerBase):
                 raise FloatingPointError(
                     f"Loss became infinite or NaN at iteration={it}! "
                     f"loss_dict={host}")
-            self.storage._iter, saved = it, self.storage._iter
+            saved = self.storage.iter
+            self.storage.iter = it
             self.storage.put_scalars(total_loss=total, **host)
             self.storage.put_scalar("data_time", data_time)
-            self.storage._iter = saved
+            self.storage.iter = saved
 
     def after_step(self):
         # make metrics current before periodic writers run
@@ -231,10 +238,15 @@ class Trainer(TrainerBase):
 
     # -- checkpoint ---------------------------------------------------------
     def checkpoint_tree(self):
-        return {"params": self.state.params,
+        tree = {"params": self.state.params,
                 "model_state": self.state.model_state,
                 "opt_state": self.state.opt_state,
                 "step": self.state.step}
+        if self.state.accum_grads is not None:
+            # mid-accumulation-window resumes must not drop the partial
+            # gradient sum (checkpoint period need not divide A)
+            tree["accum_grads"] = self.state.accum_grads
+        return tree
 
     def resume_or_load(self, resume: bool = True) -> int:
         """Returns the start iteration (restored on resume — fixing the
@@ -247,7 +259,9 @@ class Trainer(TrainerBase):
         restored = load_checkpoint(path, self.checkpoint_tree())
         self.state = self._place_state(self.state._replace(
             params=restored["params"], model_state=restored["model_state"],
-            opt_state=restored["opt_state"], step=jnp.asarray(restored["step"])))
+            opt_state=restored["opt_state"],
+            accum_grads=restored.get("accum_grads", self.state.accum_grads),
+            step=jnp.asarray(restored["step"])))
         start = int(restored["step"])
         logger.info(f"Resumed from {path} at iteration {start}")
         return start

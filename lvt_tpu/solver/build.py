@@ -200,7 +200,13 @@ def build_optimizer(cfg, suffix: str = "_G") -> optax.GradientTransformation:
         raise ValueError(f"Unknown optimizer: {name}")
 
     schedule = build_lr_schedule(cfg)
-    chain.append(optax.scale_by_schedule(lambda step: -lr * schedule(step)))
+    # optax's count increments once per optimizer.update; under gradient
+    # accumulation the trainer calls update only every A-th iteration while
+    # WARMUP_ITERS/STEPS/MAX_ITER are iteration-denominated — rescale the
+    # count so schedules fire at the configured iterations, not A× late
+    accum = cfg.SOLVER.ACCUMULATION_STEPS
+    chain.append(optax.scale_by_schedule(
+        lambda step: -lr * schedule(step * accum)))
     tx = optax.chain(*chain)
     state_dtype = getattr(S, "OPT_STATE_DTYPE", "float32")
     if state_dtype not in ("float32", "bfloat16"):
