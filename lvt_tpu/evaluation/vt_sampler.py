@@ -42,20 +42,24 @@ def load_paired_vqvae(cfg):
 
 def decode_codes_fn(model, params, state, scale_to_zeroone: bool):
     """Shared jitted (T, nc, h, w) codes -> (T, H, W, 3) [0,255] decoder;
-    cached per model so co-running evaluators reuse one executable."""
+    cached per model so co-running evaluators reuse one executable.
+    denormalize/scale/clip run INSIDE the jit (one executable, no eager
+    dispatches or host float math on the eval hot path — same pattern as
+    engine/defaults.build_vqvae_infer_fn)."""
+    import jax.numpy as jnp
+
     from ..engine.defaults import _cached_jit
 
+    factor = 255.0 if scale_to_zeroone else 1.0
     decode = _cached_jit(
-        model, ("paired_decode",),
-        lambda params, state, idx: model.decode(params, state, idx))
+        model, ("paired_decode", scale_to_zeroone),
+        lambda params, state, idx: jnp.clip(
+            model.denormalize(model.decode(params, state, idx)) * factor,
+            0.0, 255.0))
 
     def decode_codes(codes: np.ndarray) -> np.ndarray:
         idx = np.transpose(codes, (0, 2, 3, 1))  # (T, h, w, nc)
-        frames = model.denormalize(decode(params, state, idx))
-        frames = np.asarray(frames)
-        if scale_to_zeroone:
-            frames = frames * 255.0
-        return np.clip(frames, 0.0, 255.0)
+        return np.asarray(decode(params, state, idx))
 
     return decode_codes
 
@@ -77,22 +81,37 @@ def _load_paired_vqvae(cfg):
 
 def load_vqvae_weights(model, params, state, enc_path, gen_path, cb_path):
     """Graft per-subnet weights from reference .pth files or a full orbax
-    checkpoint directory (any of the three paths may point at it)."""
+    checkpoint directory (any of the three paths may point at it; .pth
+    paths set alongside an orbax dir are grafted ON TOP of the restore)."""
     from ..checkpoint.orbax_io import load_checkpoint
     from ..checkpoint.torch_convert import load_pretrained_vqvae
 
-    for p in (enc_path, gen_path, cb_path):
-        if p and os.path.isdir(p):
-            tree = load_checkpoint(p, {"params": params, "model_state": state},
-                                  partial=True)
-            return tree["params"], tree["model_state"]
+    named = {"ENCODER_WEIGHTS": enc_path, "GENERATOR_WEIGHTS": gen_path,
+             "CODEBOOK_WEIGHTS": cb_path}
+    missing = [f"{k}={p!r}" for k, p in named.items()
+               if p and not os.path.exists(p)]
+    if missing:
+        # a configured-but-absent path must not silently degrade to random
+        # init — the eval would report plausible-looking garbage
+        raise FileNotFoundError(
+            f"configured VQ-VAE weights do not exist: {', '.join(missing)}")
 
-    return load_pretrained_vqvae(
-        model, params, state,
-        encoder_path=enc_path if enc_path and os.path.exists(enc_path) else "",
-        generator_path=gen_path if gen_path and os.path.exists(gen_path) else "",
-        codebook_path=cb_path if cb_path and os.path.exists(cb_path) else "",
-    )
+    dirs = [p for p in (enc_path, gen_path, cb_path)
+            if p and os.path.isdir(p)]
+    if dirs:
+        tree = load_checkpoint(dirs[0], {"params": params, "model_state": state},
+                               partial=True)
+        params, state = tree["params"], tree["model_state"]
+
+    pth = lambda p: p if (p and not os.path.isdir(p)) else ""
+    if any(pth(p) for p in (enc_path, gen_path, cb_path)):
+        return load_pretrained_vqvae(
+            model, params, state,
+            encoder_path=pth(enc_path),
+            generator_path=pth(gen_path),
+            codebook_path=pth(cb_path),
+        )
+    return params, state
 
 
 class VTSampler(DatasetEvaluator):
@@ -133,6 +152,12 @@ class VTSampler(DatasetEvaluator):
                             save_image(video[frame_idx], frame_path)
                             break
                         except OSError:
+                            if attempt == 9:
+                                # persistent failure (disk full, perms):
+                                # surface it — a silently missing frame
+                                # leaves incomplete videos that read as
+                                # success downstream
+                                raise
                             logger.warning(f"save retry #{attempt} for {frame_path}")
                             time.sleep(3)
 
