@@ -34,6 +34,16 @@ def get_dataset_dicts(dataset_names) -> List[dict]:
 
 def collate(samples: List[dict]) -> dict:
     """Stack array fields; keep other metadata as lists."""
+    keys = set(samples[0])
+    for s in samples[1:]:
+        if set(s) != keys:
+            # stacking assumes one schema per batch; mixing e.g. a
+            # class-labeled kinetics dataset with unlabeled bair would
+            # otherwise KeyError or silently drop labels
+            raise ValueError(
+                f"cannot collate heterogeneous samples: {sorted(keys)} vs "
+                f"{sorted(set(s))} — the batched datasets produce different "
+                f"field sets")
     out = {}
     for k in samples[0]:
         vals = [s[k] for s in samples]
@@ -47,20 +57,29 @@ def collate(samples: List[dict]) -> dict:
 class _PrefetchLoader:
     """Iterable over collated batches with a bounded background prefetcher."""
 
-    def __init__(self, dataset_dicts, mapper, index_iter_factory, batch_size,
+    def __init__(self, dataset_dicts, mapper, sampler, batch_size,
                  num_workers, drop_last, infinite, max_retries=50):
         self._dicts = dataset_dicts
         self._mapper = mapper
-        self._index_iter_factory = index_iter_factory
+        self._sampler = sampler
         self._batch = batch_size
         self._workers = max(1, num_workers)
         self._drop_last = drop_last
         self._infinite = infinite
         self._max_retries = max_retries
         self._fallback_rng = np.random.default_rng(0)
+        self._fallback_lock = threading.Lock()
 
     def __len__(self):
-        return (len(self._dicts) + self._batch - 1) // self._batch
+        if self._infinite:
+            raise TypeError("infinite training loader has no length")
+        # the SAMPLER's length (per-rank shard, TEST.N_SAMPLES subset) is
+        # what this rank actually iterates — len(dataset) over-reported
+        # e.g. world_size x for sharded eval
+        n = len(self._sampler)
+        if self._drop_last:
+            return n // self._batch
+        return (n + self._batch - 1) // self._batch
 
     def _map_one(self, idx: int) -> dict:
         """Map with retry-on-None fallback (reference MapDataset,
@@ -69,7 +88,8 @@ class _PrefetchLoader:
             d = self._mapper(self._dicts[idx])
             if d is not None:
                 return d
-            idx = int(self._fallback_rng.integers(len(self._dicts)))
+            with self._fallback_lock:  # Generators are not thread-safe
+                idx = int(self._fallback_rng.integers(len(self._dicts)))
         raise RuntimeError(f"Mapper failed {self._max_retries} times in a row")
 
     @staticmethod
@@ -90,7 +110,7 @@ class _PrefetchLoader:
         try:
             with ThreadPoolExecutor(self._workers) as pool:
                 batch_idx: List[int] = []
-                for idx in self._index_iter_factory():
+                for idx in iter(self._sampler):
                     if stop.is_set():
                         return
                     batch_idx.append(int(idx))
@@ -154,7 +174,7 @@ def build_train_loader(cfg, mapper: Optional[DatasetMapper] = None):
     logger.info(f"Train loader: {len(dataset_dicts)} samples, "
                 f"{per_proc}/process of global batch {total}")
     return _PrefetchLoader(
-        dataset_dicts, mapper, lambda: iter(sampler), per_proc,
+        dataset_dicts, mapper, sampler, per_proc,
         cfg.DATALOADER.NUM_WORKERS, drop_last=True, infinite=True,
     ), len(dataset_dicts)
 
@@ -168,6 +188,6 @@ def build_test_loader(cfg, dataset_name: str, mapper: Optional[DatasetMapper] = 
         mapper = DatasetMapper(cfg, is_train=False)
     sampler = InferenceSampler(len(dataset_dicts), cfg.TEST.N_SAMPLES)
     return _PrefetchLoader(
-        dataset_dicts, mapper, lambda: iter(sampler), batch_size,
+        dataset_dicts, mapper, sampler, batch_size,
         cfg.DATALOADER.NUM_WORKERS, drop_last=False, infinite=False,
     )

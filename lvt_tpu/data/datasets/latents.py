@@ -23,7 +23,10 @@ def get_latent_video_paths(root, use_cache=True, is_kinetics=False, class_filter
         for dirpath, dirs, files in os.walk(root):
             if dirs:
                 continue
-            files = natural_sorted(files)
+            # skip AppleDouble resource forks like the image walkers do
+            # (utils/image.py) — '._frame.npy' ends with .npy but np.load
+            # on its header raises mid-training
+            files = natural_sorted(f for f in files if not f.startswith("._"))
             if not files or not all(f.endswith(".npy") for f in files):
                 continue
             d = {"video_root": dirpath,

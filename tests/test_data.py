@@ -163,7 +163,7 @@ def test_dropped_iterator_stops_producer_thread():
     dicts = [{"i": i} for i in range(8)]
     loader = _PrefetchLoader(
         dicts, lambda d: {"image": np.zeros((4, 4, 3), np.float32)},
-        lambda: itertools.cycle(range(8)), batch_size=2, num_workers=2,
+        itertools.cycle(range(8)), batch_size=2, num_workers=2,
         drop_last=True, infinite=True)
 
     before = threading.active_count()
@@ -189,10 +189,11 @@ def test_exhausted_iterator_leaves_no_thread():
     dicts = [{"i": i} for i in range(6)]
     loader = _PrefetchLoader(
         dicts, lambda d: {"image": np.zeros((2, 2, 3), np.float32)},
-        lambda: iter(range(6)), batch_size=2, num_workers=2,
+        range(6), batch_size=2, num_workers=2,
         drop_last=False, infinite=False)
 
     before = threading.active_count()
+    assert len(loader) == 3  # sampler-derived length
     assert len(list(iter(loader))) == 3
     deadline = time.time() + 10.0
     while threading.active_count() > before and time.time() < deadline:
