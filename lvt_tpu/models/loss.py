@@ -10,9 +10,9 @@ an alternating-update trainer path but ships NO discriminator module
 import jax.numpy as jnp
 
 
-def pixel_loss(cfg, x_tilde, x):
-    """lambda * (l1|l2) (reference loss.py:5-20)."""
-    mode = cfg.LOSS.PIXEL.MODE
+def pixel_loss_core(mode: str, lam: float, x_tilde, x):
+    """lambda * (l1|l2) — the single implementation behind both the
+    cfg-keyed wrapper below and VQVAE._pixel_loss."""
     diff = x_tilde.astype(jnp.float32) - x.astype(jnp.float32)
     if mode == "l2":
         l = jnp.mean(diff ** 2)
@@ -20,10 +20,16 @@ def pixel_loss(cfg, x_tilde, x):
         l = jnp.mean(jnp.abs(diff))
     else:
         raise NotImplementedError(mode)
-    return cfg.LOSS.PIXEL.LAMBDA * l
+    return lam * l
 
 
-def gan_loss(cfg, logits, target_is_real: bool, *, for_discriminator: bool = True):
+def pixel_loss(cfg, x_tilde, x):
+    """lambda * (l1|l2) (reference loss.py:5-20)."""
+    return pixel_loss_core(cfg.LOSS.PIXEL.MODE, cfg.LOSS.PIXEL.LAMBDA,
+                           x_tilde, x)
+
+
+def gan_loss(cfg, logits, target_is_real: bool):
     """wgan / lsgan / vanilla GAN criteria on discriminator logits."""
     mode = cfg.LOSS.GAN.MODE
     logits = logits.astype(jnp.float32)

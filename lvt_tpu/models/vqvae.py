@@ -109,12 +109,10 @@ class VQVAE:
         return y, idx
 
     def _pixel_loss(self, x_tilde, x):
-        diff = x_tilde.astype(jnp.float32) - x.astype(jnp.float32)
-        if self.pixel_loss_mode == "l2":
-            l = jnp.mean(diff ** 2)
-        else:
-            l = jnp.mean(jnp.abs(diff))
-        return self.pixel_loss_lambda * l
+        from .loss import pixel_loss_core
+
+        return pixel_loss_core(self.pixel_loss_mode, self.pixel_loss_lambda,
+                               x_tilde, x)
 
     def loss(self, params, state, x, *, train=True, axis_name=None,
              use_pallas=None):

@@ -48,9 +48,15 @@ def visible_abc_mask_np(a, b, c, st, sh, sw, T, H, W) -> np.ndarray:
 
 
 def shifted_shape(st, sh, sw, T, H, W, kt, kh, kw) -> Tuple[int, int, int]:
-    """Shape of ``ss_shift`` output; constant across (a, b, c)."""
+    """Shape of ``ss_shift`` output; constant across (a, b, c).
+
+    Per axis: (m-1)*s + 1 core positions plus k//2 padding each side —
+    equal to k + (m-1)*s only for odd k (all shipped configs), hence the
+    explicit half-width formula."""
     t, h, w = T // st, H // sh, W // sw
-    return (kt + (t - 1) * st, kh + (h - 1) * sh, kw + (w - 1) * sw)
+    return (2 * (kt // 2) + 1 + (t - 1) * st,
+            2 * (kh // 2) + 1 + (h - 1) * sh,
+            2 * (kw // 2) + 1 + (w - 1) * sw)
 
 
 def _axis_shift(a, s, n, k):

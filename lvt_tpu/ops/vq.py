@@ -8,8 +8,10 @@ Functional rebuild of the reference quantizer stack
   accumulated in fp32; ``jnp.argmin`` breaks ties toward the lowest index,
   matching ``torch.min`` — required for bit-matched codebook indices.
 * straight-through: grad w.r.t. inputs is the identity (reference
-  vq_utils.py:52-54); grad w.r.t. the codebook flows through ``jnp.take``
-  whose transpose is exactly the reference's ``index_add_`` scatter.
+  vq_utils.py:52-54); grad w.r.t. the codebook (live in non-EMA mode) flows
+  through ``embedding.take_rows`` — same segment-sums as the reference's
+  ``index_add_`` scatter, computed as a one-hot matmul on the MXU instead
+  of XLA's serialized colliding scatter-add.
 * EMA update (reference vq_embedding.py:40-59) is pure state-in/state-out;
   cross-replica reduction of (cluster size, cluster sum) is a ``psum`` over
   the data mesh axis — the TPU-native form of the reference's AllReduce
@@ -30,6 +32,8 @@ from typing import NamedTuple, Optional, Tuple
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+from .embedding import take_rows
 
 
 class EmaCodebookState(NamedTuple):
@@ -180,8 +184,10 @@ def _ema_stats(z: jnp.ndarray, indices: jnp.ndarray, K: int,
     return size, vec_sum
 
 
-def _ema_update(state_emb, running_size, running_sum, size, vec_sum,
+def _ema_update(running_size, running_sum, size, vec_sum,
                 decay: float, eps: float):
+    """The EMA embedding is fully determined by the running sums — the
+    current embedding does not participate (reference vq_embedding.py:56-59)."""
     K = running_size.shape[0]
     new_size = running_size * decay + (1.0 - decay) * size
     new_sum = running_sum * decay + (1.0 - decay) * vec_sum
@@ -226,14 +232,17 @@ def quantize_st(
         if ema and train:
             size, vec_sum = _ema_stats(zi, idx, K, axis_name)
             e, rs, rsum = _ema_update(
-                emb_i, state.running_size[i], state.running_sum[i],
+                state.running_size[i], state.running_sum[i],
                 size, vec_sum, decay, eps,
             )
         else:
             e, rs, rsum = emb_i, state.running_size[i], state.running_sum[i]
 
-        # differentiable lookup uses the POST-update embedding (reference :61)
-        q = jnp.take(e, idx, axis=0)
+        # differentiable lookup uses the POST-update embedding (reference :61).
+        # take_rows: identical forward, but the backward (live in non-EMA
+        # mode, where the codebook is a grad param) is a one-hot matmul
+        # instead of XLA's serialized colliding scatter-add (CLAUDE.md)
+        q = take_rows(e, idx)
 
         idx_parts.append(idx)
         st_parts.append(st)

@@ -48,8 +48,7 @@ class ToyGan:
 
     def generator_loss(self, params, d_params, state, batch, rng):
         fake = self._gen(params, rng, batch["x"].shape[0])
-        loss = gan_loss(self.cfg, self._disc(d_params, fake), True,
-                        for_discriminator=False)
+        loss = gan_loss(self.cfg, self._disc(d_params, fake), True)
         return loss, ({"loss_g": loss}, state)
 
     def discriminator_loss(self, params, d_params, state, batch, rng):
