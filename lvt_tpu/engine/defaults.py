@@ -100,10 +100,15 @@ def default_setup(cfg, args):
 # Jits are built ONCE per (model, task) and reused across every run_test /
 # EvalHook invocation — params flow in as arguments, never closed over, so
 # periodic eval re-pays zero trace/compile time (the VT sampling scan takes
-# ~10 min to compile on TPU). The cache lives ON the model object itself:
-# its lifetime equals the model's (a WeakKeyDictionary would not work here —
-# the jitted value's closure references the model, keeping the key alive).
-TRACE_COUNTS = {}  # (id(model), *key) -> number of actual traces (test hook)
+# ~10 min to compile on TPU). The cache AND the trace counts live ON the
+# model object itself: their lifetime equals the model's (a module-global
+# id()-keyed dict would alias across model lifetimes after GC reuses an
+# address, and would never shrink).
+
+
+def trace_counts(model) -> dict:
+    """{key: number of actual traces} for this model's cached jits (tests)."""
+    return getattr(model, "_lvt_trace_counts", {})
 
 
 def _cached_jit(model, key, fn):
@@ -112,11 +117,12 @@ def _cached_jit(model, key, fn):
     if cache is None:
         cache = {}
         model._lvt_jit_cache = cache
+        model._lvt_trace_counts = {}
     if key not in cache:
-        count_key = (id(model),) + key
+        counts = model._lvt_trace_counts
 
         def counted(*args, **kwargs):
-            TRACE_COUNTS[count_key] = TRACE_COUNTS.get(count_key, 0) + 1
+            counts[key] = counts.get(key, 0) + 1
             return fn(*args, **kwargs)
 
         cache[key] = jax.jit(counted)
@@ -292,9 +298,11 @@ class DefaultTrainer(Trainer):
             IterationTimer(),
             LRSchedulerHook(cfg.SOLVER.LR_G, build_lr_schedule(cfg)),
         ]
-        if comm.is_main_process():
-            hooks.append(PeriodicCheckpointer(cfg.OUTPUT_DIR,
-                                              cfg.SOLVER.CHECKPOINT_PERIOD))
+        # every rank: Orbax save of mesh-sharded arrays is a collective
+        # (rank-0-only would deadlock/fail under multihost TP); the hook
+        # itself gates host-side pruning on rank 0
+        hooks.append(PeriodicCheckpointer(cfg.OUTPUT_DIR,
+                                          cfg.SOLVER.CHECKPOINT_PERIOD))
         if cfg.TEST.EVAL_PERIOD > 0:
             def eval_fn():
                 return run_test(cfg, self.model, self.state.params,

@@ -99,12 +99,19 @@ class PeriodicWriter(HookBase):
 
     def after_train(self):
         for writer in self._writers:
+            # flush whatever accumulated since the last period boundary —
+            # including the final-eval scalars EvalHook.after_train just
+            # stored (they'd otherwise never reach metrics.json/TB)
+            writer.write()
             writer.close()
 
 
 class PeriodicCheckpointer(HookBase):
     """Orbax save every ``period`` iterations + final (reference
-    hooks.py:172-188); rank-0 only."""
+    hooks.py:172-188). EVERY rank enters the save — Orbax's save of
+    mesh-sharded jax.Arrays is a collective (rank-0-only would deadlock
+    or fail on non-fully-addressable arrays under multihost TP); only the
+    host-side prune is rank-0."""
 
     def __init__(self, output_dir, period, max_to_keep=0):
         self._output_dir = output_dir
@@ -112,11 +119,9 @@ class PeriodicCheckpointer(HookBase):
         self._max_to_keep = max_to_keep
 
     def _save(self):
-        if not comm.is_main_process():
-            return
         tree = self.trainer.checkpoint_tree()
         save_checkpoint(self._output_dir, self.trainer.iter + 1, tree)
-        if self._max_to_keep > 0:
+        if self._max_to_keep > 0 and comm.is_main_process():
             prune_checkpoints(self._output_dir, keep=self._max_to_keep)
 
     def after_step(self):
@@ -173,7 +178,9 @@ class EvalHook(HookBase):
     def after_train(self):
         if self.trainer.iter + 1 >= self.trainer.max_iter:
             self._do_eval()
-        del self._func
+        # NOTE: the reference deletes _func here to break a reference
+        # cycle; Python's gc collects cycles, and deleting it crashed a
+        # second train() on the same trainer — keep the hook reusable
 
 
 class JaxProfiler(HookBase):
@@ -199,3 +206,13 @@ class JaxProfiler(HookBase):
             jax.profiler.stop_trace()
             self._active = False
             logger.info(f"Saved jax profiler trace to {self._output_dir}")
+
+    def after_train(self):
+        # run_step raising skips after_step: stop a dangling trace so it
+        # is saved and the profiler can be started again later
+        if self._active:
+            import jax
+
+            jax.profiler.stop_trace()
+            self._active = False
+            logger.info(f"Saved jax profiler trace (cleanup) to {self._output_dir}")

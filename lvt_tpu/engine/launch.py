@@ -32,6 +32,13 @@ def launch(
         if coordinator_address is not None:
             kwargs.update(coordinator_address=coordinator_address,
                           num_processes=num_processes, process_id=process_id)
+        elif num_processes is not None or process_id is not None:
+            # silently auto-detecting a different topology than the caller
+            # asked for is worse than failing
+            raise ValueError(
+                "launch(multihost=True) got num_processes/process_id without "
+                "coordinator_address; pass all three, or none to let "
+                "jax.distributed auto-detect the topology")
         jax.distributed.initialize(**kwargs)
         logger.info(
             f"jax.distributed initialized: process {jax.process_index()}"

@@ -75,8 +75,8 @@ def test_eval_hook_runs_during_training(tmp_path):
 
     # the 3 evals shared ONE traced/compiled infer fn (the ~10-min TPU
     # sampling compile must be paid once per run, not per EVAL_PERIOD)
-    from lvt_tpu.engine.defaults import TRACE_COUNTS
-    traces = {k: v for k, v in TRACE_COUNTS.items() if k[0] == id(trainer.model)}
+    from lvt_tpu.engine.defaults import trace_counts
+    traces = trace_counts(trainer.model)
     assert traces, "no trace counts recorded"
     assert all(v == 1 for v in traces.values()), traces
 
@@ -84,7 +84,7 @@ def test_eval_hook_runs_during_training(tmp_path):
 def test_cached_jit_builds_once_per_model_and_key():
     import jax.numpy as jnp
 
-    from lvt_tpu.engine.defaults import TRACE_COUNTS, _cached_jit
+    from lvt_tpu.engine.defaults import _cached_jit, trace_counts
 
     class M:
         pass
@@ -95,7 +95,7 @@ def test_cached_jit_builds_once_per_model_and_key():
     assert f1 is f2
     np.testing.assert_allclose(f1(jnp.ones(3)), 2.0)
     np.testing.assert_allclose(f2(jnp.ones(3)), 2.0)
-    assert TRACE_COUNTS[(id(m), "k")] == 1
+    assert trace_counts(m)[("k",)] == 1
     # different key -> different jit
     f3 = _cached_jit(m, ("other",), lambda x: x * 3)
     assert f3 is not f1
