@@ -56,7 +56,7 @@ def ResShuffleDecoder(cfg, **kwargs) -> SeqNet:
         spec += [("conv", nf, g.OUT_CHANNELS * 4, 3, 1, 1)] + _maybe_norm(norm)
         spec += [("pixelshuffle", 2)]
     else:
-        raise ValueError
+        raise ValueError(f"ResShuffleDecoder supports stride 2 or 4, got {stride}")
     spec += out_activation_spec(kwargs.get("out_activation", g.OUT_ACTIVATION))
     return SeqNet(tuple(spec), norm, g.SPECTRAL, cfg.MODEL.INIT_TYPE)
 

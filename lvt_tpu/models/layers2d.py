@@ -79,11 +79,18 @@ def _pixel_shuffle(x, r):
     return x.reshape(b, h * r, w * r, c)
 
 
-def _spectral_normalize(w, u, train):
+def _spectral_normalize(w, u, train, out_axis: int = -1):
     """One power-iteration spectral norm (torch.nn.utils.spectral_norm
     semantics; reference wrappers.py:44-46). w viewed as (out, -1) in torch;
-    our HWIO maps to out = last dim."""
-    wm = w.reshape(-1, w.shape[-1]).T  # (out, rest)
+    our HWIO conv maps out = last dim, our HWOI convT maps out = axis 2
+    (torch uses dim=1 = out for ConvTranspose2d). sigma is invariant to the
+    column (rest-dims) ordering, so any reshape with rows = out-channels
+    matches torch's (out, -1) view."""
+    if out_axis not in (-1, w.ndim - 1):
+        w_view = jnp.moveaxis(w, out_axis, -1)
+    else:
+        w_view = w
+    wm = w_view.reshape(-1, w_view.shape[-1]).T  # (out, rest)
     v = wm.T @ u
     v = v / (jnp.linalg.norm(v) + 1e-12)
     u_new = wm @ v
@@ -156,7 +163,8 @@ def apply_seq(spec, params, state, x, *, norm: str, use_spectral: bool,
             _, cin, cout, k, stride, pad = layer
             w = p["w"]
             if use_spectral:
-                w, u = _spectral_normalize(w, s["u"], train)
+                w, u = _spectral_normalize(
+                    w, s["u"], train, out_axis=2 if kind == "convT" else -1)
                 ns = dict(s, u=u)
             b = p.get("b")
             if kind == "conv":

@@ -51,6 +51,12 @@ def apply_norm(
     if norm == "":
         return x, state
     scale, bias = params["scale"], params["bias"]
+    if norm == "FrozenBN":
+        # the reference's FrozenBatchNorm keeps weight/bias as
+        # NON-trainable buffers; they stay in params here for checkpoint
+        # layout parity, so freeze them at the gradient level instead
+        scale = jax.lax.stop_gradient(scale)
+        bias = jax.lax.stop_gradient(bias)
     reduce_axes = tuple(range(x.ndim - 1))  # all but channel
 
     if norm in ("BN", "SyncBN", "nnSyncBN", "FrozenBN"):

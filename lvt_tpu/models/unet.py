@@ -19,12 +19,13 @@ from .norms import apply_norm, init_norm
 
 
 def _kaiming(key, k, cin, cout):
-    # torch Conv2d default init
+    # torch Conv2d default init: kaiming_uniform_(a=sqrt(5)) -> gain
+    # sqrt(2/(1+5)) = 1/sqrt(3), bound = gain*sqrt(3/fan_in) = 1/sqrt(fan_in)
+    # (same bound for the bias)
     fan_in = cin * k * k
     bound = float(np.sqrt(1.0 / fan_in))
     wk, bk = jax.random.split(key)
-    w = jax.random.uniform(wk, (k, k, cin, cout), jnp.float32,
-                           -float(np.sqrt(6.0 / fan_in)), float(np.sqrt(6.0 / fan_in)))
+    w = jax.random.uniform(wk, (k, k, cin, cout), jnp.float32, -bound, bound)
     b = jax.random.uniform(bk, (cout,), jnp.float32, -bound, bound)
     return w, b
 
@@ -53,10 +54,31 @@ def _max_pool2(x):
                                  (1, 2, 2, 1), (1, 2, 2, 1), "VALID")
 
 
+def _interp_matrix_ac(n_out: int, n_in: int) -> np.ndarray:
+    """(n_out, n_in) align_corners=True linear-interp matrix: output i
+    samples input at i*(n_in-1)/(n_out-1)."""
+    if n_in == 1 or n_out == 1:
+        pos = np.zeros(n_out)
+    else:
+        pos = np.arange(n_out) * (n_in - 1) / (n_out - 1)
+    i0 = np.floor(pos).astype(np.int64)
+    i1 = np.minimum(i0 + 1, n_in - 1)
+    f = (pos - i0).astype(np.float32)
+    m = np.zeros((n_out, n_in), np.float32)
+    m[np.arange(n_out), i0] += 1.0 - f
+    m[np.arange(n_out), i1] += f
+    return m
+
+
 def _bilinear_up2(x):
-    """scale_factor=2 bilinear with align_corners=True (torch semantics)."""
+    """scale_factor=2 bilinear with align_corners=True (torch semantics:
+    corner samples reproduced exactly). jax.image.resize's 'bilinear' is
+    half-pixel (align_corners=False), so the interpolation is applied as
+    two static matmuls instead — MXU-friendly and exactly torch's weights."""
     b, h, w, c = x.shape
-    return jax.image.resize(x, (b, 2 * h, 2 * w, c), method="bilinear")
+    my = jnp.asarray(_interp_matrix_ac(2 * h, h))
+    mx = jnp.asarray(_interp_matrix_ac(2 * w, w))
+    return jnp.einsum("Hh,bhwc,Ww->bHWc", my, x, mx)
 
 
 class UNetNet:
@@ -79,9 +101,7 @@ class UNetNet:
         downs_out = [C[1], C[2], C[3], C[4]]
         for i, (ci, co) in enumerate(zip(downs_in, downs_out)):
             params[f"down{i+1}"], state[f"down{i+1}"] = _init_double_conv(next(keys), ci, co, co)
-        # up blocks (bilinear): DoubleConv(in_ch, out_ch, mid=in_ch//2)
-        ups = [(1024 // 2 + 512, 512, 256), (512 // 2 + 256 + 0, 256, 128),
-               (256 // 2 + 0 + 128, 128, 64), (128, 64, 64)]
+        # up blocks (bilinear): DoubleConv(in_ch, out_ch, mid=in_ch//2);
         # concat channels: up1 cat(x4:512, up(x5):512)=1024 -> mid 512 -> out 256
         ups = [(1024, 256, 512), (512, 128, 256), (256, 64, 128), (128, 64, 64)]
         for i, (cin, cout, cmid) in enumerate(ups):

@@ -129,3 +129,54 @@ def test_unet_registered_and_runs(rng):
     y, _ = net.apply(p, s, codes)
     assert y.shape == (1, 16, 16, 2)
     assert 0.0 <= float(y.min()) and float(y.max()) <= 1.0
+
+
+def test_spectral_norm_convT_mismatched_channels(rng):
+    """Spectral norm on a transposed conv with cin != cout: the u vector
+    lives on the OUT channels (torch dim=1 for ConvTranspose2d); the old
+    reshape assumed out = last dim (true only for plain convs) and
+    shape-errored here."""
+    from lvt_tpu.models.encoders import SeqNet
+    from lvt_tpu.models.layers2d import _spectral_normalize
+
+    spec = (("convT", 8, 4, 4, 2, 1),)  # cin=8 -> cout=4
+    net = SeqNet(spec, "", True, "xavier_uniform")
+    p, s = net.init(jax.random.key(0))
+    x = jnp.asarray(rng.standard_normal((2, 8, 8, 8)).astype(np.float32))
+    for _ in range(20):
+        y, s = net.apply(p, s, x, train=True)
+    assert y.shape == (2, 16, 16, 4)
+    w_sn, _ = _spectral_normalize(p[0]["w"], s[0]["u"], train=False, out_axis=2)
+    # rows = out channels, like torch's (out, -1) view
+    wm = np.moveaxis(np.asarray(w_sn), 2, -1).reshape(-1, 4)
+    sv = np.linalg.svd(wm, compute_uv=False)
+    np.testing.assert_allclose(sv[0], 1.0, atol=0.05)
+
+
+def test_unet_bilinear_up2_matches_torch_align_corners(rng):
+    import torch
+    import torch.nn.functional as F
+
+    from lvt_tpu.models.unet import _bilinear_up2
+
+    x = rng.standard_normal((2, 5, 7, 3)).astype(np.float32)
+    ours = np.asarray(_bilinear_up2(jnp.asarray(x)))
+    ref = F.interpolate(torch.from_numpy(x).permute(0, 3, 1, 2),
+                        scale_factor=2, mode="bilinear", align_corners=True)
+    ref = ref.permute(0, 2, 3, 1).numpy()
+    np.testing.assert_allclose(ours, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_frozen_bn_params_get_no_gradient(rng):
+    from lvt_tpu.models.norms import apply_norm, init_norm
+
+    p, s = init_norm("FrozenBN", 4)
+    x = jnp.asarray(rng.standard_normal((2, 3, 3, 4)).astype(np.float32))
+
+    def loss(p):
+        y, _ = apply_norm("FrozenBN", p, s, x, train=True)
+        return jnp.sum(y ** 2)
+
+    g = jax.grad(loss)(p)
+    assert float(jnp.abs(g["scale"]).max()) == 0.0
+    assert float(jnp.abs(g["bias"]).max()) == 0.0
