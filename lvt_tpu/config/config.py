@@ -167,6 +167,13 @@ def _coerce_value(value: str, old: Any, full_key: str) -> Any:
         new = list(new)
     if isinstance(old, float) and isinstance(new, int):
         new = float(new)
+    if new is not None and type(new) is not type(old):
+        # yacs raises at merge time on type drift; silently storing e.g. a
+        # typo'd string where an int lived fails minutes later (or trains
+        # wrong silently)
+        raise ValueError(
+            f"Type mismatch for config key {full_key}: cannot replace "
+            f"{type(old).__name__} {old!r} with {type(new).__name__} {new!r}")
     return new
 
 

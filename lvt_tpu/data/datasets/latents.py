@@ -21,6 +21,7 @@ def get_latent_video_paths(root, use_cache=True, is_kinetics=False, class_filter
         video_paths = []
         video_idx = 0
         for dirpath, dirs, files in os.walk(root):
+            dirs[:] = natural_sorted(dirs)  # deterministic walk order (video_idx must not depend on readdir order)
             if dirs:
                 continue
             # skip AppleDouble resource forks like the image walkers do

@@ -46,16 +46,32 @@ def synchronize() -> None:
 
 
 def all_gather(data: Any) -> List[Any]:
-    """Gather a picklable object from every host process.
+    """Gather an arbitrary picklable object from every host process.
 
-    Reference comm.py:139-177 uses a gloo side-group; here we broadcast via
-    multihost_utils when multi-process, else return [data].
+    Reference comm.py:139-177 uses a gloo side-group; here the object is
+    pickled to bytes, padded to the global max length, and exchanged with
+    ``multihost_utils.process_allgather`` on a uint8 array.
+    ``process_allgather`` alone only handles uniform array pytrees —
+    passing ragged per-host Python lists (e.g. per-video feature lists
+    when the dataset size is not divisible by the process count) or
+    dicts through it crashes or returns the wrong thing.
     """
     if get_world_size() == 1:
         return [data]
+    import pickle
+
     from jax.experimental import multihost_utils
 
-    return list(multihost_utils.process_allgather(data, tiled=False))
+    payload = np.frombuffer(pickle.dumps(data), dtype=np.uint8)
+    lengths = multihost_utils.process_allgather(
+        np.asarray([payload.size], np.int64))  # (world, 1)
+    lengths = np.asarray(lengths).reshape(-1)
+    max_len = int(lengths.max())
+    padded = np.zeros((max_len,), np.uint8)
+    padded[: payload.size] = payload
+    rows = np.asarray(multihost_utils.process_allgather(padded))  # (world, max)
+    return [pickle.loads(rows[i, : int(lengths[i])].tobytes())
+            for i in range(rows.shape[0])]
 
 
 def gather(data: Any, dst: int = 0) -> List[Any]:

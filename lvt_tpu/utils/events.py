@@ -74,6 +74,7 @@ class EventStorage:
         self._vis_data = []
 
     def put_scalar(self, name, value, smoothing_hint=True):
+        name = getattr(self, "_current_prefix", "") + name
         value = float(value)
         self._history[name].update(value, self._iter)
         self._latest_scalars[name] = value
@@ -139,9 +140,11 @@ class EventStorage:
     @contextmanager
     def name_scope(self, name):
         old = getattr(self, "_current_prefix", "")
-        self._current_prefix = name.rstrip("/") + "/"
-        yield
-        self._current_prefix = old
+        self._current_prefix = old + name.rstrip("/") + "/"
+        try:
+            yield
+        finally:  # an exception inside the scope must not leak the prefix
+            self._current_prefix = old
 
 
 class EventWriter:

@@ -54,7 +54,12 @@ def save_image(image_numpy: np.ndarray, image_path: str, create_dir: bool = Fals
         image_numpy = np.expand_dims(image_numpy, axis=2)
     if image_numpy.shape[2] == 1:
         image_numpy = np.repeat(image_numpy, 3, 2)
-    Image.fromarray(image_numpy).save(image_path.replace(".jpg", ".png"))
+    # rewrite only the EXTENSION to png (a str.replace would also rewrite a
+    # '.jpg' occurring inside a directory component)
+    root, ext = os.path.splitext(image_path)
+    if ext == ".jpg":
+        image_path = root + ".png"
+    Image.fromarray(image_numpy).save(image_path)
 
 
 def make_grid(imgs: np.ndarray, nrow: int = 8) -> np.ndarray:
@@ -95,7 +100,8 @@ def get_image_paths(root, use_cache=True, is_kinetics=False):
         return np.load(cache_path, allow_pickle=True).tolist()
 
     image_paths = []
-    for dirpath, _, files in os.walk(root):
+    for dirpath, dirs, files in os.walk(root):
+        dirs[:] = natural_sorted(dirs)  # deterministic walk order
         for file in natural_sorted(files):
             if not is_image_file(file) or file.startswith("._"):
                 continue
@@ -123,6 +129,7 @@ def get_video_paths(root, use_cache=True, is_kinetics=False):
     video_paths = []
     video_idx = 0
     for dirpath, dirs, files in os.walk(root):
+        dirs[:] = natural_sorted(dirs)  # deterministic walk order (video_idx must not depend on readdir order)
         if dirs:
             continue  # a video folder is a leaf containing only frames
         image_names = []

@@ -83,6 +83,18 @@ def main():
     state, metrics = step(state, {"video": video}, key)
     loss = float(metrics["loss_cross_entropy"])
     assert np.isfinite(loss), loss
+
+    # object all_gather with RAGGED per-process payloads — the path the
+    # evaluators' cross-rank feature/metric gathers use (comm.py pickles +
+    # pads; bare process_allgather cannot do ragged objects)
+    from lvt_tpu.utils import comm
+    payload = [{"rank": jax.process_index(),
+                "feats": np.arange(3 + jax.process_index())}]
+    gathered = comm.all_gather(payload)
+    assert [g[0]["rank"] for g in gathered] == [0, 1], gathered
+    assert gathered[0][0]["feats"].shape == (3,)
+    assert gathered[1][0]["feats"].shape == (4,)
+
     print(f"multihost proc {jax.process_index()}/{jax.process_count()}: "
           f"mesh {dict(zip(mesh.axis_names, mesh.devices.shape))} "
           f"loss={loss:.4f} OK", flush=True)
