@@ -35,18 +35,26 @@ def save_checkpoint(output_dir: str, step: int, tree: Any) -> str:
     return path
 
 
-def latest_checkpoint(output_dir: str) -> Optional[str]:
+def _checkpoint_steps(output_dir: str):
+    """Sorted [(step, name)] of checkpoints under output_dir — the single
+    owner of the naming scheme for latest_checkpoint AND prune_checkpoints."""
     d = checkpoint_dir(output_dir)
     if not os.path.isdir(d):
-        return None
-    steps = []
+        return []
+    entries = []
     for name in os.listdir(d):
         m = re.fullmatch(rf"{_CKPT_PREFIX}(\d+)", name)
         if m:
-            steps.append(int(m.group(1)))
-    if not steps:
+            entries.append((int(m.group(1)), name))
+    entries.sort()
+    return entries
+
+
+def latest_checkpoint(output_dir: str) -> Optional[str]:
+    entries = _checkpoint_steps(output_dir)
+    if not entries:
         return None
-    return os.path.join(d, f"{_CKPT_PREFIX}{max(steps)}")
+    return os.path.join(checkpoint_dir(output_dir), entries[-1][1])
 
 
 def load_checkpoint(path: str, target: Any, *, partial: bool = False) -> Any:
@@ -71,16 +79,9 @@ def resume_or_load(output_dir: str, target: Any, *, resume: bool = True) -> Any:
 
 def prune_checkpoints(output_dir: str, keep: int = 2) -> None:
     """Remove all but the newest ``keep`` checkpoints."""
-    d = checkpoint_dir(output_dir)
-    if not os.path.isdir(d):
-        return
-    entries = []
-    for name in os.listdir(d):
-        m = re.fullmatch(rf"{_CKPT_PREFIX}(\d+)", name)
-        if m:
-            entries.append((int(m.group(1)), name))
-    entries.sort()
     import shutil
 
+    entries = _checkpoint_steps(output_dir)
+    d = checkpoint_dir(output_dir)
     for _, name in entries[:-keep] if keep > 0 else entries:
         shutil.rmtree(os.path.join(d, name), ignore_errors=True)

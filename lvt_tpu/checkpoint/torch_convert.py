@@ -48,23 +48,43 @@ def _ordered_conv_entries(sd: Dict[str, np.ndarray]) -> List[Dict[str, np.ndarra
     return [groups[k] for k in sorted(groups, key=natural_keys)]
 
 
-def convert_seqnet(sd: Dict[str, np.ndarray], spec) -> List[Dict[str, Any]]:
-    """Convert a torch Sequential conv-net state dict to an init_seq params
-    list, by walking our descriptor spec and consuming torch conv entries in
-    module order."""
+def convert_seqnet(sd: Dict[str, np.ndarray], spec):
+    """Convert a torch Sequential conv-net state dict to init_seq's
+    (params, state) lists, by walking our descriptor spec and consuming
+    torch conv entries in module order. State carries BatchNorm running
+    stats (mean/var) for norm layers — without them a converted BN/FrozenBN
+    net would silently evaluate with the init stats 0/1. Raises on
+    architecture mismatch (too few or leftover conv entries)."""
     entries = _ordered_conv_entries(sd)
     it = iter(entries)
+    ctx = {"i": -1, "layer": None}
+
+    def _mismatch():
+        return ValueError(
+            f"checkpoint has fewer layers than the spec needs (exhausted at "
+            f"spec layer {ctx['i']}: {ctx['layer']}) — architecture mismatch "
+            f"(wrong N_LAYERS/RES_CHANNELS, or the wrong .pth for this "
+            f"sub-net?)")
+
+    def next_entry():
+        try:
+            return next(it)
+        except StopIteration:
+            raise _mismatch() from None
 
     def next_conv():
         while True:
-            e = next(it)
+            e = next_entry()
             if "weight" in e and e["weight"].ndim >= 2:
                 return e
 
     params: List[Dict[str, Any]] = []
+    state: List[Dict[str, Any]] = []
     for i, layer in enumerate(spec):
+        ctx["i"], ctx["layer"] = i, layer
         kind = layer[0]
         p: Dict[str, Any] = {}
+        s: Dict[str, Any] = {}
         if kind == "conv":
             e = next_conv()
             p["w"] = jnp.asarray(e["weight"].transpose(2, 3, 1, 0))  # OIHW->HWIO
@@ -84,10 +104,20 @@ def convert_seqnet(sd: Dict[str, np.ndarray], spec) -> List[Dict[str, Any]]:
             if "bias" in e2:
                 p["b2"] = jnp.asarray(e2["bias"])
         elif kind == "norm":
-            e = next(it)
+            e = next_entry()
             p = {"scale": jnp.asarray(e["weight"]), "bias": jnp.asarray(e["bias"])}
+            if "running_mean" in e:
+                s = {"mean": jnp.asarray(e["running_mean"]),
+                     "var": jnp.asarray(e["running_var"])}
         params.append(p)
-    return params
+        state.append(s)
+    leftover = sum(1 for e in it if "weight" in e and e["weight"].ndim >= 2)
+    if leftover:
+        raise ValueError(
+            f"checkpoint has {leftover} conv layer(s) the spec never "
+            f"consumed — architecture mismatch; a silent prefix-graft would "
+            f"misalign the weights")
+    return params, state
 
 
 def convert_codebook(sd: Dict[str, np.ndarray], num: int) -> EmaCodebookState:
@@ -198,12 +228,20 @@ def load_pretrained_vqvae(model, params, state, *, encoder_path="",
                           generator_path="", codebook_path=""):
     """Graft reference .pth weights into a VQVAE params/state pair
     (reference per-subnet 'pretrained' slots, configs TEST.VT_SAMPLER.VQ_VAE)."""
+    def _graft(net_key, spec, path):
+        nonlocal params, state
+        pe, se = convert_seqnet(load_torch_state_dict(path), spec)
+        params = dict(params, **{net_key: pe})
+        if any(se) and net_key in state:
+            # BN running stats: overlay onto the init state, keeping
+            # non-norm entries (e.g. spectral u vectors) intact
+            merged = [dict(o, **n) for o, n in zip(state[net_key], se)]
+            state = dict(state, **{net_key: merged})
+
     if encoder_path:
-        sd = load_torch_state_dict(encoder_path)
-        params = dict(params, netE=convert_seqnet(sd, list(model.encoder.spec)))
+        _graft("netE", list(model.encoder.spec), encoder_path)
     if generator_path:
-        sd = load_torch_state_dict(generator_path)
-        params = dict(params, netG=convert_seqnet(sd, list(model.generator.spec)))
+        _graft("netG", list(model.generator.spec), generator_path)
     if codebook_path:
         cb = convert_codebook(load_torch_state_dict(codebook_path), model.num)
         if model.ema:

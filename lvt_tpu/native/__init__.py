@@ -23,8 +23,15 @@ _lib = None
 _tried = False
 
 
-def _build() -> Optional[str]:
-    if os.path.exists(_SO) and os.path.getmtime(_SO) >= os.path.getmtime(_SRC):
+def _build(force: bool = False) -> Optional[str]:
+    try:
+        src_mtime = os.path.getmtime(_SRC)
+    except OSError:
+        # source missing (e.g. a packaging that shipped only the .so):
+        # use the binary if present, never rebuild
+        return _SO if os.path.exists(_SO) else None
+    if (not force and os.path.exists(_SO)
+            and os.path.getmtime(_SO) >= src_mtime):
         return _SO
     cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", _SRC, "-o", _SO, "-lz"]
     try:
@@ -32,6 +39,14 @@ def _build() -> Optional[str]:
         return _SO
     except (subprocess.CalledProcessError, FileNotFoundError) as e:
         logger.warning(f"native lvt_io build failed ({e}); using Python fallbacks")
+        return None
+
+
+def _load(so: str):
+    try:
+        return ctypes.CDLL(so)
+    except OSError as e:
+        logger.warning(f"loading {so} failed ({e})")
         return None
 
 
@@ -46,7 +61,15 @@ def get_lib():
         so = _build()
         if so is None:
             return None
-        lib = ctypes.CDLL(so)
+        lib = _load(so)
+        if lib is None:
+            # stale/incompatible binary (different-ABI checkout): rebuild
+            # once, else fall back to the Python paths as documented
+            so = _build(force=True)
+            lib = _load(so) if so else None
+            if lib is None:
+                logger.warning("native lvt_io unusable; using Python fallbacks")
+                return None
         lib.decode_png_file_rgb.restype = ctypes.c_int
         lib.decode_png_file_rgb.argtypes = [
             ctypes.c_char_p, ctypes.c_void_p, ctypes.c_long,

@@ -56,6 +56,7 @@ int decode_png_rgb(const uint8_t* data, long len, uint8_t* out, int* out_w,
     const uint8_t* cdata = data + pos + 8;
     if (pos + 12 + (long)clen > len) return -2;
     if (!memcmp(ctype, "IHDR", 4)) {
+      if (clen < 13) return -3;  // truncated IHDR: fields below would read OOB
       w = be32(cdata);
       h = be32(cdata + 4);
       bit_depth = cdata[8];
@@ -142,10 +143,28 @@ int decode_png_rgb(const uint8_t* data, long len, uint8_t* out, int* out_w,
 }
 
 // Read a whole PNG file and decode; convenience for ctypes callers.
+// out == nullptr is a DIMS-ONLY query: reads just the 33 header bytes
+// (signature + IHDR) instead of the whole file — the Python wrapper calls
+// query-then-decode per frame, so the query must not double the file IO.
 int decode_png_file_rgb(const char* path, uint8_t* out, long out_cap,
                         int* out_w, int* out_h) {
   FILE* f = fopen(path, "rb");
   if (!f) return -10;
+  if (out == nullptr) {
+    uint8_t head[33];
+    size_t n = fread(head, 1, sizeof(head), f);
+    fclose(f);
+    if (n < sizeof(head) || memcmp(head, "\x89PNG\r\n\x1a\n", 8) != 0)
+      return -1;
+    if (memcmp(head + 12, "IHDR", 4) != 0) return -2;  // IHDR must be first
+    if (be32(head + 8) < 13) return -3;
+    *out_w = (int)be32(head + 16);
+    *out_h = (int)be32(head + 20);
+    if (head[24] != 8) return -4;   // bit depth
+    if (head[28] != 0) return -3;   // interlaced unsupported
+    if (*out_w <= 0 || *out_h <= 0) return -5;
+    return 0;
+  }
   fseek(f, 0, SEEK_END);
   long len = ftell(f);
   fseek(f, 0, SEEK_SET);
@@ -157,7 +176,6 @@ int decode_png_file_rgb(const char* path, uint8_t* out, long out_cap,
   fclose(f);
   int rc = decode_png_rgb(buf.data(), len, nullptr, out_w, out_h);
   if (rc != 0) return rc;
-  if (out == nullptr) return 0;
   if ((long)(*out_w) * (*out_h) * 3 > out_cap) return -12;
   return decode_png_rgb(buf.data(), len, out, out_w, out_h);
 }

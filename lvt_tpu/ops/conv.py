@@ -163,32 +163,33 @@ def _ctx_encode_impl(ctx, table, stride):
     return emb.reshape(b, nc * K, t, h, w, de).sum(axis=1)
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(2, 3))
-def _ctx_encode(ctx, table, stride, nv):
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def _ctx_encode(ctx, table, stride, nv, kernel):
     return _ctx_encode_impl(ctx, table, stride)
 
 
-def _ctx_encode_fwd(ctx, table, stride, nv):
+def _ctx_encode_fwd(ctx, table, stride, nv, kernel):
     # residuals must be jax types: carry the table dtype via a 0-size array
     return (_ctx_encode_impl(ctx, table, stride),
             (ctx, jnp.zeros((0,), table.dtype)))
 
 
-def _ctx_encode_bwd(stride, nv, res, g):
+def _ctx_encode_bwd(stride, nv, kernel, res, g):
     """d(table) via one-hot matmuls, one per (channel, kernel-slot).
 
     The gather's natural transpose is a scatter-add of b*thw*nc*K rows into
     nv buckets — massively colliding indices that XLA serializes on TPU
     (measured: seconds per step on the (3,3)-kernel DSSVT geometry). The
-    one-hot matmul computes the same segment sums on the MXU."""
+    one-hot matmul computes the same segment sums on the MXU.
+
+    The kernel size comes through the nondiff args: reconstructing it as
+    Tp - (t-1)*st only holds when (Tp - kt) divides st — false for the
+    even-kernel geometries shifted_shape produces (Tp = 2*(kt//2)+1 +
+    (t-1)*st)."""
     ctx, dtype_proto = res
     nc = ctx.shape[1]
-    st, sh, sw = stride
-    t, h, w, de = g.shape[1:]
-    Tp, Hp, Wp = ctx.shape[2:]
-    kt = Tp - (t - 1) * st
-    kh = Hp - (h - 1) * sh
-    kw = Wp - (w - 1) * sw
+    kt, kh, kw = kernel
+    de = g.shape[-1]
     K = kt * kh * kw
     table_shape = (nc, kt, kh, kw, nv, de)
     gidx, _ = _ctx_gather_indices(ctx, stride, table_shape)
@@ -233,7 +234,7 @@ def subscale_context_encode(
     """
     nc, kt, kh, kw, nv_t, de = table.shape
     assert nv_t == nv
-    emb = _ctx_encode(ctx, table, tuple(stride), int(nv))
+    emb = _ctx_encode(ctx, table, tuple(stride), int(nv), (kt, kh, kw))
     if bias is not None:
         emb = emb + bias
     return emb

@@ -7,6 +7,7 @@ import os
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 import torch
 import torch.nn as nn
 
@@ -83,7 +84,7 @@ def test_convert_seqnet_output_matches_torch(rng):
                                    cfg.MODEL.ENCODER.RES_CHANNELS,
                                    cfg.MODEL.ENCODER.N_LAYERS)
     sd = {f"layers.{k}": v.detach().numpy() for k, v in tnet.state_dict().items()}
-    params = convert_seqnet(sd, list(model.encoder.spec))
+    params, _ = convert_seqnet(sd, list(model.encoder.spec))
     _, state0 = model.encoder.init(jax.random.key(0))
 
     x = rng.standard_normal((2, 3, 32, 32)).astype(np.float32)
@@ -166,3 +167,36 @@ def test_convert_video_transformer_structure(rng):
     sl = jnp.asarray(rng.integers(0, c.nv, size=(1, c.nc, 1, 4, 4)), jnp.int32)
     lg = vt_logits(params, c, ctx, sl, jnp.asarray([1], jnp.int32), use_pallas=False)
     assert np.isfinite(np.asarray(lg)).all()
+
+
+def test_convert_seqnet_grafts_bn_running_stats():
+    """Norm-layer running_mean/var must flow into the state list: a
+    converted BN/FrozenBN net evaluating with init stats 0/1 is silently
+    wrong (the eval-mode normalize reads state, not params)."""
+    import torch.nn as nn
+
+    net = nn.Sequential(nn.Conv2d(3, 4, 3, 1, 1, bias=False),
+                        nn.BatchNorm2d(4))
+    with torch.no_grad():
+        net[1].running_mean.copy_(torch.arange(4, dtype=torch.float32))
+        net[1].running_var.copy_(torch.arange(1, 5, dtype=torch.float32))
+    sd = {k: v.detach().numpy() for k, v in net.state_dict().items()}
+    spec = [("conv", 3, 4, 3, 1, 1), ("norm", 4)]
+    params, state = convert_seqnet(sd, spec)
+    assert "scale" in params[1] and "w" in params[0]
+    np.testing.assert_array_equal(np.asarray(state[1]["mean"]), [0, 1, 2, 3])
+    np.testing.assert_array_equal(np.asarray(state[1]["var"]), [1, 2, 3, 4])
+    assert state[0] == {}
+
+
+def test_convert_seqnet_rejects_architecture_mismatch():
+    import torch.nn as nn
+
+    net = nn.Sequential(nn.Conv2d(3, 4, 3), nn.Conv2d(4, 4, 3))
+    sd = {k: v.detach().numpy() for k, v in net.state_dict().items()}
+    # spec wants three convs -> exhaustion must name the failing layer
+    with pytest.raises(ValueError, match="architecture mismatch"):
+        convert_seqnet(sd, [("conv", 3, 4, 3, 1, 1)] * 3)
+    # spec consumes only one conv -> leftover entries must refuse
+    with pytest.raises(ValueError, match="never consumed"):
+        convert_seqnet(sd, [("conv", 3, 4, 3, 1, 1)])

@@ -294,9 +294,15 @@ def test_attention_pallas_backward_bf16_io(rng):
                                np.asarray(want[0], np.float32), atol=0.05)
 
 
-@pytest.mark.parametrize("stride,kernel", [((4, 1, 1), (3, 1, 1)),
-                                           ((1, 2, 2), (1, 3, 3))])
-def test_ctx_encode_custom_backward_matches_gather_vjp(rng, stride, kernel):
+@pytest.mark.parametrize("stride,kernel,extra", [
+    ((4, 1, 1), (3, 1, 1), 0),
+    ((1, 2, 2), (1, 3, 3), 0),
+    # even kernel + 1 extra padded row: (Tp - kt) % st != 0, so the old
+    # backward's kernel-size reconstruction kt = Tp - (t-1)*st was wrong
+    ((2, 1, 1), (4, 1, 1), 1),
+])
+def test_ctx_encode_custom_backward_matches_gather_vjp(rng, stride, kernel,
+                                                       extra):
     """The one-hot-matmul d(table) must equal the natural gather vjp."""
     from lvt_tpu.ops import conv as C
 
@@ -304,7 +310,8 @@ def test_ctx_encode_custom_backward_matches_gather_vjp(rng, stride, kernel):
     kt, kh, kw = kernel
     st, sh, sw = stride
     t, h, w = 2, 4, 4
-    Tp, Hp, Wp = (t - 1) * st + kt, (h - 1) * sh + kh, (w - 1) * sw + kw
+    Tp, Hp, Wp = (t - 1) * st + kt + extra, (h - 1) * sh + kh, (w - 1) * sw + kw
+    t = (Tp - kt) // st + 1  # valid-window count actually produced
     table = jnp.asarray(rng.standard_normal((nc, kt, kh, kw, nv, de)),
                         jnp.float32)
     ctx = jnp.asarray(
@@ -312,7 +319,7 @@ def test_ctx_encode_custom_backward_matches_gather_vjp(rng, stride, kernel):
     g = jnp.asarray(rng.standard_normal((3, t, h, w, de)), jnp.float32)
 
     def loss_custom(tab):
-        return jnp.vdot(C._ctx_encode(ctx, tab, stride, nv), g)
+        return jnp.vdot(C._ctx_encode(ctx, tab, stride, nv, kernel), g)
 
     def loss_natural(tab):
         return jnp.vdot(C._ctx_encode_impl(ctx, tab, stride), g)
