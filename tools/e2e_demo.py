@@ -122,10 +122,8 @@ def main():
     vt_cfg.SOLVER.IMS_PER_BATCH = 16
     vt_cfg.TEST.N_SAMPLES = 4
     vt_cfg.OUTPUT_DIR = os.path.join(wd, "vt_out")
-    vt_cfg.TEST.VT_SAMPLER.VQ_VAE.CFG = os.path.join(repo, "configs", "vqvae",
-                                                     "PR-DVQVAE2.yaml")
-    # point the paired VQ-VAE at stage-1's orbax checkpoint... sampler decode
-    # happens manually below instead.
+    # (no VTSampler evaluator here — stage 4 runs BitsEvaluator only; the
+    # sampling + decode demo happens manually below)
 
     t0 = time.perf_counter()
     vt_loader, _ = build_train_loader(vt_cfg)

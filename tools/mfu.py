@@ -30,6 +30,7 @@ DEVICE_SPECS = [
     ("v5e", 197.0, 819.0),
     ("v5 lite", 197.0, 819.0),
     ("v6e", 918.0, 1640.0),
+    ("v6 lite", 918.0, 1640.0),  # JAX reports v6e device_kind as "TPU v6 lite"
     ("v4", 275.0, 1228.0),
     ("cpu", 1.0, 0.0),  # so the tool runs in CI; % is meaningless there
 ]

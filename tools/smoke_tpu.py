@@ -73,7 +73,10 @@ def main():
     print(f"DSFVT: {args.steps} steps in {dt:.1f}s (incl compile), "
           f"loss {losses[0][0]:.4f} -> {losses[-1][0]:.4f}")
 
-    # steady-state step time
+    # steady-state step time — metrics_period must exceed the window: a
+    # per-step flush host-reads the loss, measuring the ~190 ms tunnel RTT
+    # instead of compute (CLAUDE.md)
+    trainer.metrics_period = args.steps * 2 + 1
     t0 = time.perf_counter()
     trainer.train(args.steps, args.steps * 2)
     dt = (time.perf_counter() - t0) / args.steps

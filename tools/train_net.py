@@ -46,7 +46,6 @@ def main(args):
 
         model = build_model(cfg)
         params, state = model.init(jax.random.key(max(cfg.SEED, 0)))
-        trainer = None
         # restore trained weights from OUTPUT_DIR (orbax) or pretrained .pth
         from lvt_tpu.checkpoint import latest_checkpoint, load_checkpoint
 
@@ -65,7 +64,15 @@ def main(args):
                     cfg.MODEL.CODEBOOK.WEIGHTS)
             else:
                 gen = cfg.MODEL.GENERATOR.WEIGHTS
-                if gen and gen.endswith(".pth") and os.path.exists(gen):
+                if gen and not os.path.exists(gen):
+                    # configured-but-absent weights must not silently
+                    # degrade to random init (same contract as
+                    # load_vqvae_weights): the eval would report
+                    # plausible-looking garbage
+                    raise FileNotFoundError(
+                        f"MODEL.GENERATOR.WEIGHTS={gen!r} does not exist "
+                        f"and OUTPUT_DIR has no checkpoint")
+                if gen and gen.endswith(".pth"):
                     from lvt_tpu.checkpoint.torch_convert import (
                         convert_video_transformer,
                         load_torch_state_dict,
