@@ -108,3 +108,43 @@ def test_progress_bar():
             pb.update()
     out = buf.getvalue()
     assert "10/10" in out and "100%" in out
+
+
+def test_periodic_writer_flushes_final_window(tmp_path):
+    """Scalars stored AFTER the last period boundary (e.g. EvalHook's
+    final-eval metrics in after_train) must still land in metrics.json:
+    PeriodicWriter.after_train has to write() before close()."""
+    from lvt_tpu.engine.hooks import PeriodicWriter
+
+    path = str(tmp_path / "metrics.json")
+    with EventStorage(0) as s:
+
+        class T:  # minimal trainer stub the hook reads
+            iter = 0
+            max_iter = 100
+
+        hook = PeriodicWriter([JSONWriter(path)], period=20)
+        hook.trainer = T()
+        hook.after_step()  # iter 0: not a boundary, nothing written
+        # a final-eval scalar after the last boundary
+        s.put_scalar("eval/FVD", 42.0, smoothing_hint=False)
+        hook.after_train()
+    lines = [json.loads(l) for l in open(path)]
+    assert any("eval/FVD" in ln for ln in lines), lines
+
+
+def test_event_storage_name_scope_prefixes_scalars():
+    with EventStorage(0) as s:
+        with s.name_scope("eval"):
+            s.put_scalar("loss", 1.0)
+        s.put_scalar("loss", 2.0)
+        hist = s.histories()
+        assert "eval/loss" in hist and "loss" in hist
+        # exception safety: the prefix must not leak
+        try:
+            with s.name_scope("bad"):
+                raise RuntimeError
+        except RuntimeError:
+            pass
+        s.put_scalar("after", 3.0)
+        assert "after" in s.histories()
