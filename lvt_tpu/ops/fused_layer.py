@@ -32,6 +32,31 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def _ln_fwd_f32(xf, gamma, beta):
+    """fp32 LayerNorm forward on (n, d): returns (y, yhat, r).
+
+    The ONE definition of the LN recompute shared by the fused forward,
+    both backward kernels, and the XLA tail — the remat backward must
+    replay bit-identical LN math or the gradients silently drift.
+    Everything stays 2-D (v5e Mosaic crashes on 1-D intermediates)."""
+    mu = jnp.mean(xf, axis=1, keepdims=True)
+    var = jnp.mean((xf - mu) * (xf - mu), axis=1, keepdims=True)
+    r = jax.lax.rsqrt(var + 1e-5)
+    yhat = (xf - mu) * r
+    return yhat * gamma + beta, yhat, r
+
+
+def _ln_bwd_f32(dy, yhat, r, gamma):
+    """fp32 LayerNorm backward on (n, d): returns (dgamma_row, dbeta_row,
+    dx) with the grad rows kept (1, d)."""
+    dls = jnp.sum(dy * yhat, axis=0, keepdims=True)
+    dlb = jnp.sum(dy, axis=0, keepdims=True)
+    dyh = dy * gamma
+    m1 = jnp.mean(dyh, axis=1, keepdims=True)
+    m2 = jnp.mean(dyh * yhat, axis=1, keepdims=True)
+    return dls, dlb, r * (dyh - m1 - yhat * m2)
+
+
 def _wqkv_flat(wq, wk, wv):
     """(na, d, da) x3 -> (d, 3*na*da), columns [q heads | k heads | v heads].
 
@@ -78,14 +103,8 @@ def fused_layer_tokens_pallas(tok, p, bias, mask: Optional[np.ndarray], *,
         io_dt = x_ref.dtype
 
         def ln(xf, s_ref, b_ref):
-            # fp32 stats over the feature dim; everything stays 2-D — the
-            # v5e Mosaic compiler crashes on 1-D intermediates (CLAUDE.md),
-            # so the (1, d) param rows broadcast directly
-            mu = jnp.mean(xf, axis=1, keepdims=True)
-            var = jnp.mean((xf - mu) * (xf - mu), axis=1, keepdims=True)
-            return ((xf - mu) * jax.lax.rsqrt(var + 1e-5)
-                    * s_ref[...].astype(jnp.float32)
-                    + b_ref[...].astype(jnp.float32))
+            return _ln_fwd_f32(xf, s_ref[...].astype(jnp.float32),
+                               b_ref[...].astype(jnp.float32))[0]
 
         x = x_ref[0].astype(jnp.float32)  # (n, d)
         y = ln(x, lns_ref, lnb_ref).astype(io_dt)
@@ -201,12 +220,9 @@ def ffn_half_bwd_pallas(x2, g, p, *, interpret: bool = False):
         go32 = go.astype(jnp.float32)
 
         # LN forward recompute (fp32, 2-D throughout)
-        mu = jnp.mean(x2, axis=1, keepdims=True)
-        var = jnp.mean((x2 - mu) * (x2 - mu), axis=1, keepdims=True)
-        r = jax.lax.rsqrt(var + 1e-5)
-        yhat = (x2 - mu) * r
         gam = fls_ref[...].astype(jnp.float32)
-        y2 = (yhat * gam + flb_ref[...].astype(jnp.float32)).astype(io_dt)
+        y2f, yhat, r = _ln_fwd_f32(x2, gam, flb_ref[...].astype(jnp.float32))
+        y2 = y2f.astype(io_dt)
 
         f_pre = jnp.dot(y2, w1_ref[...], preferred_element_type=jnp.float32)
         f_pre = f_pre + b1_ref[...].astype(jnp.float32)
@@ -231,12 +247,9 @@ def ffn_half_bwd_pallas(x2, g, p, *, interpret: bool = False):
             preferred_element_type=jnp.float32)
 
         # LN backward
-        dls_ref[...] += jnp.sum(dy2 * yhat, axis=0, keepdims=True)
-        dlb_ref[...] += jnp.sum(dy2, axis=0, keepdims=True)
-        dyh = dy2 * gam
-        m1 = jnp.mean(dyh, axis=1, keepdims=True)
-        m2 = jnp.mean(dyh * yhat, axis=1, keepdims=True)
-        dx2_ln = r * (dyh - m1 - yhat * m2)
+        dls_row, dlb_row, dx2_ln = _ln_bwd_f32(dy2, yhat, r, gam)
+        dls_ref[...] += dls_row
+        dlb_ref[...] += dlb_row
         dx2_ref[0] = (dx2_ln + go32).astype(dx2_ref.dtype)
 
     const = lambda shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape),
@@ -320,11 +333,8 @@ def attn_half_bwd_pallas(x, dx2, p, bias, mask: Optional[np.ndarray],
             dbias_ref[...] = jnp.zeros_like(dbias_ref)
 
         xf = x_ref[0].astype(jnp.float32)
-        mu = jnp.mean(xf, axis=1, keepdims=True)
-        var = jnp.mean((xf - mu) * (xf - mu), axis=1, keepdims=True)
-        y = ((xf - mu) * jax.lax.rsqrt(var + 1e-5)
-             * lns_ref[...].astype(jnp.float32)
-             + lnb_ref[...].astype(jnp.float32)).astype(io_dt)
+        y = _ln_fwd_f32(xf, lns_ref[...].astype(jnp.float32),
+                        lnb_ref[...].astype(jnp.float32))[0].astype(io_dt)
         dacc = g_ref[0]  # (n, d), io dtype
 
         qkv = jnp.dot(y, wqkv_ref[...],
@@ -490,18 +500,18 @@ def _fused_layer_ad(masked: bool):
             dbias = jnp.concatenate([o0[3], o1[3]]).astype(bias.dtype)
 
             # LN backward over the summed dy + the residual path (XLA —
-            # one elementwise fusion)
-            x32 = tok.astype(jnp.float32)
-            mu = jnp.mean(x32, axis=-1, keepdims=True)
-            var = jnp.var(x32, axis=-1, keepdims=True)
-            r = jax.lax.rsqrt(var + 1e-5)
-            yhat = (x32 - mu) * r
-            dls1 = jnp.sum(dy * yhat, axis=(0, 1)).astype(p.ln_scale.dtype)
-            dlb1 = jnp.sum(dy, axis=(0, 1)).astype(p.ln_bias.dtype)
-            dyh = dy * p.ln_scale.astype(jnp.float32)
-            m1 = jnp.mean(dyh, axis=-1, keepdims=True)
-            m2 = jnp.mean(dyh * yhat, axis=-1, keepdims=True)
-            dtok = (r * (dyh - m1 - yhat * m2)
+            # one elementwise fusion; same shared LN helpers, rows folded
+            # over (nb*n, d))
+            nb_, n_, d_ = tok.shape
+            gam = p.ln_scale.astype(jnp.float32).reshape(1, d_)
+            _, yhat, r = _ln_fwd_f32(
+                tok.astype(jnp.float32).reshape(-1, d_), gam,
+                jnp.float32(0.0))
+            dls_row, dlb_row, dtok_ln = _ln_bwd_f32(
+                dy.reshape(-1, d_), yhat, r, gam)
+            dls1 = dls_row[0].astype(p.ln_scale.dtype)
+            dlb1 = dlb_row[0].astype(p.ln_bias.dtype)
+            dtok = (dtok_ln.reshape(nb_, n_, d_)
                     + dx2.astype(jnp.float32)).astype(tok.dtype)
             dp = p._replace(
                 ln_scale=dls1, ln_bias=dlb1, wq=dwq, wk=dwk, wv=dwv,
@@ -533,10 +543,32 @@ def fused_block_layer(tok, p, bias, masked: bool):
     return _fused_layer_ad(bool(masked))(tok, p, bias)
 
 
+def _attn_bwd_vmem_bytes(na: int, d: int, da: int, n: int) -> int:
+    """Upper-bound estimate of attn_half_bwd_pallas' per-call VMEM working
+    set (nh = na//2 heads per call). Terms, fp32 unless noted:
+    bias input + dbias accumulator (nh, n, n) each; ~4 live (n, n) score
+    buffers (s/prob/dp/ds) + 2 io-dtype copies; dwqkv+dproj fp32
+    accumulators; wqkv+proj operands; qkv/dqkv/o_all io activations; x/g/dy
+    (n, d) tiles with double-buffer headroom. Validated against measured
+    geometries: DSFVT na=8/n=256/d=512 -> ~11 MiB (compiles), na=8/n=512 ->
+    ~22 MiB (would not)."""
+    nh = max(na // 2, 1)
+    score = 8 * nh * n * n + 16 * n * n + 4 * n * n
+    accs = 16 * d * nh * da
+    weights = 8 * d * nh * da
+    acts = 6 * 2 * n * nh * da
+    tiles = 3 * 4 * n * d
+    return score + accs + weights + acts + tiles
+
+
 def fused_layer_supported(layers, blocks) -> bool:
     """Geometry gate: one shared block size, shared head shape, da lane-
-    aligned, and a block volume Mosaic handles (n <= 1024 keeps the
-    (na, n, n) bias + per-head score scratch inside VMEM)."""
+    aligned, a forward block volume Mosaic handles (the (na, n, n) bias +
+    per-head score scratch stay inside VMEM), AND — when the even-head
+    fused backward would run — a backward working set that fits v5e VMEM
+    (the backward's accumulator+scratch set is ~2.5x the forward's; gating
+    only the forward approved geometries whose first train step failed
+    Mosaic compilation)."""
     if len(set(map(tuple, blocks))) != 1:
         return False
     shapes = {tuple(l.wq.shape) for l in layers}
@@ -545,5 +577,9 @@ def fused_layer_supported(layers, blocks) -> bool:
     na, d, da = next(iter(shapes))
     t, h, w = blocks[0]
     n = t * h * w
-    return da % 128 == 0 and d % 128 == 0 and n <= 1024 and \
-        na * n * n * 4 <= 8 * 2 ** 20
+    if not (da % 128 == 0 and d % 128 == 0 and n <= 1024
+            and na * n * n * 4 <= 8 * 2 ** 20):
+        return False
+    if na % 2 == 0 and _attn_bwd_vmem_bytes(na, d, da, n) > 13 * 2 ** 20:
+        return False  # odd na falls back to the XLA attention-half vjp
+    return True

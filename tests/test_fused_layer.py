@@ -81,11 +81,14 @@ def test_ffn_half_bwd_matches_xla_vjp(rng):
                                    rtol=2e-4, atol=2e-4, err_msg=name)
 
 
-@pytest.mark.parametrize("masked,na", [(False, 2), (True, 2), (True, 4)])
+@pytest.mark.parametrize("masked,na", [(False, 2), (True, 2), (True, 4),
+                                       (True, 3)])
 def test_fused_layer_grads_match_xla_layer(rng, masked, na):
     """End-to-end custom_vjp (fused fwd + FFN-half kernel + split
     attention-half kernels) vs autodiff through the unfused XLA layer.
-    na=4 exercises multi-head halves in attn_half_bwd_pallas."""
+    na=4 exercises multi-head halves in attn_half_bwd_pallas; na=3
+    exercises the odd-head fallback (XLA attention-half vjp + FFN-grad
+    splice), which no shipped config reaches."""
     d, da = 32, 16
     block = (1, 4, 4)
     n = 16
@@ -134,6 +137,10 @@ def test_fused_layer_supported_gate():
     # mixed head shapes
     assert not fl.fused_layer_supported([L((8, 512, 128)), L((4, 512, 128))],
                                         [(1, 16, 16)] * 2)
+    # n=512 at na=8: the FORWARD bias bound (8 MiB) passes but the
+    # attention-half BACKWARD working set (~22-25 MiB estimated) cannot
+    # compile on v5e — the gate must bound the backward too
+    assert not fl.fused_layer_supported(layers, [(2, 16, 16)] * 2)
 
 
 def test_fused_flag_is_inert_on_cpu(rng):
