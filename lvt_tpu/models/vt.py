@@ -569,6 +569,20 @@ class VideoTransformer:
         compute per pixel); False re-runs the full decoder per pixel — the
         reference's formulation, kept as the verification/baseline path.
         """
+        if not incremental:
+            # the full-recompute path has no KV cache: refuse compute-path
+            # knobs it would silently ignore (kv_cache_dtype/kv_seg_size
+            # describe the cache and are simply meaningless here — callers
+            # like bench.py pass their defaults through)
+            for name, val, default in (("weight_dtype", weight_dtype, "native"),
+                                       ("mm_dtype", mm_dtype, "native"),
+                                       ("attn_impl", attn_impl, "xla")):
+                if val != default:
+                    raise ValueError(
+                        f"sample_video(incremental=False) ignores {name}; "
+                        f"got {name}={val!r} — an A/B comparison against "
+                        f"the baseline would silently compare the wrong "
+                        f"configuration")
         if n_prime is None:
             n_prime = self.c.n_prime
         c = self.c

@@ -337,7 +337,13 @@ def sample_slice_incremental(params, c: VTConfig, slice_shape, zl, sl, key,
         """One raster position. The K/V caches in `carry` hold at most
         blk_run rows (segmented growth below); position p reads and writes
         cache row p_loc = p mod blk_run — exact because p only attends
-        within its contiguous attention block (see block-local notes)."""
+        within its contiguous attention block (see block-local notes).
+
+        NOTE closure contract: this body references `kv_store` /
+        `_cache_zeros`, which are assigned ~100 lines BELOW (the cache
+        layout depends on seg bookkeeping computed there). That is safe
+        only because pixel_step is first traced at the lax.scan call at
+        the end of this function — do not invoke or trace it earlier."""
         cache_len = (carry.kcaches[0].shape[1] if pallas_attn
                      else carry.kcaches.shape[3])
         p_loc = jax.lax.rem(p, jnp.int32(blk_run)) if block_local else p
@@ -360,6 +366,10 @@ def sample_slice_incremental(params, c: VTConfig, slice_shape, zl, sl, key,
             qkv = _mm(y, wqkv[l]).reshape(b, 3, na, da)
             q, kk, vv = qkv[:, 0], qkv[:, 1], qkv[:, 2]
             if use_int8:
+                # absmax row quantization like quantize_rows_i8, but
+                # DELIBERATELY with cdtype scales (not fp32): the scale
+                # buffers ride the scan carry next to the caches, and this
+                # is the numerics the int8-KV path was measured/tested at
                 sk = jnp.max(jnp.abs(kk), axis=-1).astype(cdtype) / qmax
                 sv = jnp.max(jnp.abs(vv), axis=-1).astype(cdtype) / qmax
                 kk = jnp.clip(jnp.round(kk / (sk[..., None] + 1e-8)),
@@ -441,6 +451,12 @@ def sample_slice_incremental(params, c: VTConfig, slice_shape, zl, sl, key,
                     out = (out.astype(jnp.float32) * sw
                            ).astype(cdtype).reshape(b, na * da)
                 else:
+                    # softmax weights round to cdtype BEFORE the V dot —
+                    # the deliberate precision convention of this sampler
+                    # (the fused training kernels round softmax to bf16 the
+                    # same way); it keeps the dot at MXU bf16 rate with the
+                    # int8 cache dequant fused into it. fp32 params make it
+                    # a no-op (the greedy bit-match tests' regime).
                     wgt = jax.nn.softmax(logits, axis=-1).astype(cdtype)
                     if use_int8:
                         wgt = wgt * new_vs[l]  # fold V scales into the weights
@@ -460,8 +476,7 @@ def sample_slice_incremental(params, c: VTConfig, slice_shape, zl, sl, key,
         old = carry.sl[:, :, p]
         final = jnp.where(primed[p], old, sampled)
         sl_new = carry.sl.at[:, :, p].set(final)
-        emb_new = carry.emb.at[:, p].set(
-            _embed_sum_codes(dec, c, jnp.moveaxis(final, 1, -1)))
+        emb_new = carry.emb.at[:, p].set(_embed_sum_codes(dec, c, final))
         return SliceCarry(sl_new, emb_new, new_k, new_v, new_ks, new_vs, key), None
 
     sl_flat = sl.reshape(b, nc, thw)
