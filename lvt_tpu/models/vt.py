@@ -28,7 +28,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops import subscale as ss
-from ..ops.attention import BlockAttnParams, block_local_attention, init_block_attn
+from ..ops.attention import (BlockAttnParams, _layer_norm,
+                             block_local_attention, init_block_attn)
 from ..ops.conv import masked_conv3d, subscale_context_encode
 from ..ops.embedding import take_rows
 from ..ops.posenc import add_positional_encoding
@@ -140,13 +141,8 @@ def init_vt_params(key, c: VTConfig) -> Dict[str, Any]:
 # Forward passes
 # --------------------------------------------------------------------------
 
-def _layer_norm(x, scale, bias, eps=1e-5):
-    # stats in fp32 (bf16 params/activations keep LN stable), output in x.dtype
-    x32 = x.astype(jnp.float32)
-    mean = jnp.mean(x32, axis=-1, keepdims=True)
-    var = jnp.var(x32, axis=-1, keepdims=True)
-    y = (x32 - mean) * jax.lax.rsqrt(var + eps)
-    return (y * scale.astype(jnp.float32) + bias.astype(jnp.float32)).astype(x.dtype)
+# _layer_norm: imported from ops.attention (one shared definition; a second
+# private copy once drifted to bf16 stats and desynced the XLA/fused paths)
 
 
 def _checkpoint_policy(remat):

@@ -282,17 +282,26 @@ def attention_core_pallas_bwd(q, k, v, bias, g, mask: Optional[np.ndarray],
 _PALLAS_BWD_MAX_ELEMS = 2 ** 21
 
 
+# test hook: route the composed custom_vjp's pallas_calls through the
+# interpreter so the defvjp GLUE (residual order, grad-tuple order, gate
+# dispatch) is exercised by the CPU suite, not just the kernels in isolation
+_FORCE_INTERPRET = False
+
+
 @lru_cache(maxsize=8)
 def _attention_core_pallas_ad(masked: bool):
     """Differentiable wrapper: Pallas forward; backward via the fused Pallas
-    recompute kernel (XLA fallback for very long blocks)."""
+    recompute kernel. (The XLA-vjp branch below is defense-in-depth for
+    direct callers only — attention_core falls back whole-hog at the same
+    threshold, so it is unreachable through the public path.)"""
 
     def _mask(n):
         return causal_mask(n) if masked else None
 
     @jax.custom_vjp
     def f(q, k, v, bias):
-        return attention_core_pallas(q, k, v, bias, _mask(q.shape[2]))
+        return attention_core_pallas(q, k, v, bias, _mask(q.shape[2]),
+                                     interpret=_FORCE_INTERPRET)
 
     def fwd(q, k, v, bias):
         return f(q, k, v, bias), (q, k, v, bias)
@@ -300,8 +309,9 @@ def _attention_core_pallas_ad(masked: bool):
     def bwd(res, g):
         q, k, v, bias = res
         na, n = q.shape[1], q.shape[2]
-        if na * n * n <= _PALLAS_BWD_MAX_ELEMS:
-            return attention_core_pallas_bwd(q, k, v, bias, g, _mask(n))
+        if na * n * n < _PALLAS_BWD_MAX_ELEMS:  # strict: 2^21 exactly blows VMEM
+            return attention_core_pallas_bwd(q, k, v, bias, g, _mask(n),
+                                             interpret=_FORCE_INTERPRET)
         _, vjp = jax.vjp(
             lambda q_, k_, v_, b_: attention_core_xla(q_, k_, v_, b_, _mask(n)),
             q, k, v, bias)
@@ -314,18 +324,22 @@ def _attention_core_pallas_ad(masked: bool):
 def attention_core(q, k, v, bias, mask, *, use_pallas: Optional[bool] = None):
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
-    if use_pallas and q.shape[1] * q.shape[2] ** 2 > _PALLAS_BWD_MAX_ELEMS:
-        # same size gate as the backward: the forward kernel pins the full
-        # (na, n, n) fp32 bias in VMEM, so geometries past the gate would
-        # fail Mosaic compilation in the forward while the backward
+    if use_pallas and q.shape[1] * q.shape[2] ** 2 >= _PALLAS_BWD_MAX_ELEMS:
+        # same size gate as the backward, boundary-EXCLUSIVE (na=8, n=512
+        # sits exactly on 2^21 and blows VMEM): the forward kernel pins the
+        # full (na, n, n) fp32 bias in VMEM, so geometries past the gate
+        # would fail Mosaic compilation in the forward while the backward
         # 'safely' fell back — fall back whole-hog instead
         use_pallas = False
     if use_pallas:
         # the only masks used are the causal triangle or none; the AD wrapper
-        # reconstructs them from `masked` so the mask needn't be traced
+        # reconstructs them from `masked` so the mask needn't be traced —
+        # which is only sound if the mask IS the causal triangle
         masked = mask is not None
         if masked:
             assert mask.shape == (q.shape[2], q.shape[2])
+            assert np.array_equal(mask, causal_mask(q.shape[2])), \
+                "attention_core's Pallas path supports only the causal mask"
         return _attention_core_pallas_ad(masked)(q, k, v, bias)
     return attention_core_xla(q, k, v, bias, mask)
 
@@ -393,9 +407,10 @@ def init_block_attn(key, block_size, na: int, d: int, da: int) -> BlockAttnParam
 
 
 def _layer_norm(x, scale, bias, eps=1e-5):
-    # stats in fp32 — same recipe as models/vt.py's _layer_norm and the
-    # fused-layer kernel's in-VMEM LN (bf16 statistics destabilize LN and
-    # made the XLA fallback path diverge from the fused path)
+    """THE LayerNorm for the whole VT stack (models/vt.py re-exports it):
+    stats in fp32 — bf16 statistics destabilize LN, and a second private
+    copy of this function drifting to bf16 stats once made the XLA
+    fallback diverge from the fused Pallas path. Keep one definition."""
     x32 = x.astype(jnp.float32)
     mean = jnp.mean(x32, axis=-1, keepdims=True)
     var = jnp.var(x32, axis=-1, keepdims=True)

@@ -360,3 +360,54 @@ def test_take_rows_backward_matches_gather_vjp(rng):
     got2 = jax.grad(lambda b: jnp.vdot(take_rows(b[4:], idx), g))(big)
     want2 = jax.grad(lambda b: jnp.vdot(jnp.take(b[4:], idx, axis=0), g))(big)
     np.testing.assert_allclose(np.asarray(got2), np.asarray(want2), atol=1e-4)
+
+
+@pytest.mark.parametrize("masked", [False, True])
+def test_attention_core_custom_vjp_glue_composes(rng, masked):
+    """Exercise the COMPOSED _attention_core_pallas_ad custom_vjp (residual
+    plumbing, gate dispatch, grad-tuple order) in interpret mode against
+    XLA autodiff — the kernels were tested individually but the defvjp glue
+    only ever ran on hardware before."""
+    from lvt_tpu.ops import attention as attn
+
+    na, n, da = 2, 16, 8
+    q = jnp.asarray(rng.standard_normal((3, na, n, da)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((3, na, n, da)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((3, na, n, da)), jnp.float32)
+    bias = jnp.asarray(rng.standard_normal((na, n, n)), jnp.float32)
+    mask = attn.causal_mask(n) if masked else None
+
+    def loss_ref(q, k, v, b):
+        return jnp.sum(attn.attention_core_xla(q, k, v, b, mask) ** 2)
+
+    want, wg = jax.value_and_grad(loss_ref, argnums=(0, 1, 2, 3))(q, k, v, bias)
+
+    attn._FORCE_INTERPRET = True
+    attn._attention_core_pallas_ad.cache_clear()
+    try:
+        def loss_pallas(q, k, v, b):
+            return jnp.sum(attn.attention_core(
+                q, k, v, b, mask, use_pallas=True) ** 2)
+
+        got, gg = jax.value_and_grad(
+            loss_pallas, argnums=(0, 1, 2, 3))(q, k, v, bias)
+    finally:
+        attn._FORCE_INTERPRET = False
+        attn._attention_core_pallas_ad.cache_clear()
+
+    np.testing.assert_allclose(float(got), float(want), rtol=1e-5)
+    for a, b_, nm in zip(gg, wg, "qkvb"):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=1e-4, atol=1e-4, err_msg=nm)
+
+
+def test_attention_core_rejects_noncausal_mask(rng):
+    from lvt_tpu.ops import attention as attn
+
+    na, n, da = 2, 8, 4
+    q = jnp.asarray(rng.standard_normal((1, na, n, da)), jnp.float32)
+    bias = jnp.zeros((na, n, n), jnp.float32)
+    bad = np.zeros((n, n), bool)
+    bad[0, -1] = True  # not the causal triangle
+    with pytest.raises(AssertionError, match="causal"):
+        attn.attention_core(q, q, q, bias, bad, use_pallas=True)
