@@ -40,6 +40,12 @@ CASES = [
     # sub-spatial blocks (bh < h): blocks are NOT contiguous raster runs,
     # exercising the factored-bias fallback instead of block-local caches
     ((4, 1, 1), (3, 1, 1), ((1, 2, 2),) * 2, (4, 4, 4)),
+    # NON-SQUARE spatial grid + asymmetric stride: h != w exercises every
+    # index-arithmetic assumption (raster order, block runs, rel tables)
+    # that square test grids cannot distinguish from their transpose
+    ((1, 2, 1), (1, 3, 3), ((2, 2, 2),) * 2, (2, 4, 6)),
+    # single-frame slices over a tall grid, block run < thw along W only
+    ((2, 1, 2), (3, 1, 3), ((1, 4, 2),) * 2, (4, 4, 4)),
 ]
 
 
@@ -215,7 +221,7 @@ def test_int8_mm_requires_int8_kv(rng):
                        greedy=True, kv_cache_dtype="native", mm_dtype="int8")
 
 
-@pytest.mark.parametrize("case_idx,seg", [(1, 0), (1, 4), (3, 0)])
+@pytest.mark.parametrize("case_idx,seg", [(1, 0), (1, 4), (3, 0), (4, 0)])
 def test_pallas_attn_tracks_native_on_block_geometries(rng, case_idx, seg):
     """attn_impl='pallas' must hold its >=90% greedy agreement on the
     block-local cache geometry (DSSVT-like, case 1) — including segmented
