@@ -210,3 +210,45 @@ runpy.run_path({os.path.join(REPO, "scripts", "generate_videos.py")!r},
     frames = [np.asarray(Image.open(out_dir / f"{i}.png")) for i in range(4)]
     assert all(f.shape == (16, 16, 3) and f.dtype == np.uint8 for f in frames)
     assert not os.path.exists(out_dir / "4.png")
+
+
+def test_convert_kinetics_device_preprocess(tmp_path, monkeypatch):
+    """process_video --preprocess device end-to-end with a stubbed ffmpeg:
+    frames written by 'extraction' get batch crop/resized on device and
+    match the per-frame PIL recipe within 1/255 at the Kinetics downscale."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "convert_kinetics", os.path.join(REPO, "scripts", "convert_kinetics.py"))
+    ck = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ck)
+
+    rng = np.random.default_rng(3)
+    frames = [rng.integers(0, 256, (240, 320, 3), dtype=np.uint8)
+              for _ in range(3)]
+
+    def fake_ffmpeg(cmd, shell=None, stderr=None):
+        # "extract" frames into the save_dir the command names
+        save_dir = os.path.dirname(cmd.split('"')[3])
+        for i, f in enumerate(frames):
+            Image.fromarray(f).save(os.path.join(save_dir, f"{i + 1}.png"))
+        return b""
+
+    monkeypatch.setattr(ck.subprocess, "check_output", fake_ffmpeg)
+    vid = tmp_path / "cls" / "vid.mp4"
+    vid.parent.mkdir(parents=True)
+    vid.write_bytes(b"")
+    out_dir = tmp_path / "out"
+    n = ck.process_video(str(vid), str(out_dir), 64, preprocess="device")
+    assert n == 3
+
+    for i, f in enumerate(frames):
+        got = np.asarray(Image.open(out_dir / "cls" / "vid" / f"{i + 1}.png"),
+                         dtype=np.int32)
+        pil = Image.fromarray(f)
+        w, h = pil.size
+        dim = min(w, h)
+        l, t = (w - dim) / 2, (h - dim) / 2
+        ref = np.asarray(pil.crop((l, t, l + dim, t + dim))
+                         .resize((64, 64), Image.LANCZOS), dtype=np.int32)
+        assert np.abs(got - ref).max() <= 1
