@@ -41,3 +41,5 @@ run python tools/probe_decode_kernel.py --btile 8
 run python tools/probe_decode_kernel.py --btile 16
 run python tools/probe_quant_mm.py --batch 256
 echo "ALL DONE"
+# summarize every run (markdown table; flags crashed configs)
+python tools/analyze_matrix.py "$LOG" || true
