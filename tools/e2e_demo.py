@@ -11,6 +11,11 @@ Exercises every stage of SURVEY.md §3's call stacks end to end on device.
 
 Usage: python tools/e2e_demo.py [--workdir /tmp/lvt_demo] [--iters1 300]
        [--iters2 300]
+
+--cpu forces the CPU backend (the axon sitecustomize pins JAX_PLATFORMS, so
+an env var alone cannot) and shrinks iters/dataset to smoke scale: the same
+full-size architectures and every pipeline stage, runnable with no TPU
+reachable. Expect ~5-10 min, dominated by the two train-step compiles.
 """
 
 import argparse
@@ -57,11 +62,25 @@ def make_dataset(root, n_videos=64, n_frames=16, size=64, seed=0):
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--workdir", default="/tmp/lvt_demo")
-    parser.add_argument("--iters1", type=int, default=300, help="VQ-VAE iters")
-    parser.add_argument("--iters2", type=int, default=300, help="DSFVT iters")
+    parser.add_argument("--iters1", type=int, default=None, help="VQ-VAE iters "
+                        "(default 300, or 5 with --cpu)")
+    parser.add_argument("--iters2", type=int, default=None, help="DSFVT iters "
+                        "(default 300, or 5 with --cpu)")
+    parser.add_argument("--cpu", action="store_true",
+                        help="force the CPU backend + smoke-scale defaults "
+                             "(no TPU required)")
     args = parser.parse_args()
 
     import jax
+
+    if args.cpu:
+        # must precede any device query; env vars are clobbered by the axon
+        # sitecustomize, only the in-process config override sticks
+        jax.config.update("jax_platforms", "cpu")
+    if args.iters1 is None:
+        args.iters1 = 5 if args.cpu else 300
+    if args.iters2 is None:
+        args.iters2 = 5 if args.cpu else 300
 
     from lvt_tpu.config import get_cfg
     from lvt_tpu.data.catalog import DatasetCatalog, MetadataCatalog
@@ -77,7 +96,7 @@ def main():
     wd = args.workdir
     video_root = os.path.join(wd, "videos")
     os.makedirs(video_root, exist_ok=True)
-    make_dataset(video_root)
+    make_dataset(video_root, n_videos=8 if args.cpu else 64)
 
     DatasetCatalog.register("demo_train", lambda: get_video_paths(video_root, use_cache=False))
     MetadataCatalog.get("demo_train").set(root=video_root)
@@ -88,7 +107,7 @@ def main():
     cfg.DATASETS.TRAIN = ("demo_train",)
     cfg.DATASETS.TEST = ("demo_train",)
     cfg.INPUT.N_FRAMES_PER_VIDEO_TRAIN = 2  # frames per sampled clip
-    cfg.SOLVER.IMS_PER_BATCH = 16  # 16 clips x 2 frames = 32 frames/step
+    cfg.SOLVER.IMS_PER_BATCH = 8 if args.cpu else 16  # clips x 2 frames/step
     cfg.OUTPUT_DIR = os.path.join(wd, "vqvae_out")
 
     t0 = time.perf_counter()
@@ -119,7 +138,7 @@ def main():
     vt_cfg.merge_from_file(os.path.join(repo, "configs", "vt", "DSFVT.yaml"))
     vt_cfg.DATASETS.TRAIN = ("demo_latents",)
     vt_cfg.DATASETS.TEST = ("demo_latents",)
-    vt_cfg.SOLVER.IMS_PER_BATCH = 16
+    vt_cfg.SOLVER.IMS_PER_BATCH = 8 if args.cpu else 16
     vt_cfg.TEST.N_SAMPLES = 4
     vt_cfg.OUTPUT_DIR = os.path.join(wd, "vt_out")
     # (no VTSampler evaluator here — stage 4 runs BitsEvaluator only; the
