@@ -67,12 +67,30 @@ def main():
                              "(extrapolated to the full video; more pixels = "
                              "steadier denominator)")
     parser.add_argument("--skip-baseline", action="store_true")
+    parser.add_argument("--mesh", type=int, default=0,
+                        help="data-parallel ways (0/1 = single device). "
+                             "Shards the batch over an N-device data mesh "
+                             "(the v5e-8 serving scale-out); the metric "
+                             "stays frames/sec/CHIP (total/N), detail "
+                             "carries the total. Requires --skip-baseline: "
+                             "vs_baseline is a same-chip algorithm "
+                             "comparison and is not defined at mesh scale")
     parser.add_argument("--probe", action="store_true",
                         help="also time one half-batch run and check that "
                              "gen_seconds scales ~linearly (costs one extra "
                              "compile; the physical-bound self-check always "
                              "runs)")
     args = parser.parse_args()
+    n_mesh = max(args.mesh, 1)
+    if n_mesh > 1:
+        if not args.skip_baseline:
+            parser.error("--mesh N requires --skip-baseline (vs_baseline is "
+                         "a same-chip algorithm comparison)")
+        if args.batch % (2 * n_mesh if args.probe else n_mesh):
+            parser.error(f"--batch {args.batch} must divide evenly over "
+                         f"--mesh {n_mesh} shards"
+                         + (" (and over 2*mesh for --probe)" if args.probe
+                            else ""))
     if args.full_recompute:
         # _sample_slice_pixels (vt.py) ignores every KV-cache knob; refuse
         # flag combinations that would label the JSON with settings the
@@ -117,7 +135,21 @@ def main():
     # and on this rig the host->device link is a remote tunnel at ~50 MB/s
     # (1.25 s for this 62 MB batch-256 buffer, measured) — three orders of
     # magnitude off the PCIe copy a real TPU host would do (~20 ms).
-    frames = jax.device_put(frames_host)
+    if n_mesh > 1:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from lvt_tpu.parallel.mesh import build_mesh
+
+        mesh = build_mesh(data=n_mesh, model=1)
+        stage = lambda x: jax.device_put(x, NamedSharding(mesh, P("data")))
+        # params replicated on every chip; each shard rolls out its batch
+        replicate = lambda t: jax.device_put(t, NamedSharding(mesh, P()))
+        vt_params = replicate(vt_params)
+        vq_params = replicate(vq_params)
+        vq_state = replicate(vq_state)
+    else:
+        stage = jax.device_put
+    frames = stage(frames_host)
     frames.block_until_ready()
 
     def make_generate(batch):
@@ -172,9 +204,10 @@ def main():
     times = [timed_run(jax.random.fold_in(key, i)) for i in range(args.iters)]
     times_sorted = sorted(times)
     med = float(np.median(times))
-    frames_generated = B * (T - n_prime)  # newly generated frames
-    fps = frames_generated / med
-    tokens_per_sec = B * (T - n_prime) * 16 * 16 * vt.c.nc / med
+    frames_generated = B * (T - n_prime)  # newly generated frames, all chips
+    fps_total = frames_generated / med
+    fps = fps_total / n_mesh  # the metric stays per chip
+    tokens_per_sec = B * (T - n_prime) * 16 * 16 * vt.c.nc / med / n_mesh
 
     st, sh, sw = vt.plan.slice_shape
     seq_steps = (vt.plan.num_slices - n_prime) * (st * sh * sw) * vt.c.nc
@@ -190,7 +223,7 @@ def main():
         # so sub-linear scaling is expected; super-linear or flat-zero is a
         # broken fence).
         probe = _probe_half_batch(jax, np, make_generate, frames_host,
-                                  args.batch, n_prime, key)
+                                  args.batch, n_prime, key, stage)
         if probe < 0.25 * med / 2:
             sys.stderr.write(
                 "bench.py: REFUSING to report: half-batch probe %.4f s is "
@@ -227,6 +260,8 @@ def main():
             "seg": None if args.full_recompute else args.seg,
             "attn": None if args.full_recompute else args.attn,
             "sampler": "full_recompute" if args.full_recompute else "kv_cache",
+            "mesh_data": n_mesh,
+            "fps_total_all_chips": round(fps_total, 3) if n_mesh > 1 else None,
             "backend": jax.default_backend(),
         },
     }
@@ -252,7 +287,7 @@ def check_plausible(gen_seconds, seq_steps):
 
 
 def _probe_half_batch(jax, np, make_generate, frames_host, batch, n_prime,
-                      key):
+                      key, stage):
     """Time one generation at batch B//2 (the same program via the shared
     factory, own compile), host-read fenced. Slices the retained HOST copy
     of the frames — np.asarray on the staged device buffer would drag all
@@ -262,7 +297,7 @@ def _probe_half_batch(jax, np, make_generate, frames_host, batch, n_prime,
     B2 = batch // 2
     frames2 = frames_host.reshape(batch, n_prime, 64, 64, 3)[:B2]
     frames2 = frames2.reshape(B2 * n_prime, 64, 64, 3)
-    frames2 = jax.device_put(frames2)  # staged like the main loop's input
+    frames2 = stage(frames2)  # staged+sharded like the main loop's input
     frames2.block_until_ready()
 
     generate2 = make_generate(B2)
