@@ -33,3 +33,20 @@ def test_threshold_is_exactly_the_floor():
     floor = DSFVT_SEQ_STEPS * bench.MIN_SEC_PER_STEP
     assert bench.check_plausible(floor * 0.99, DSFVT_SEQ_STEPS) is not None
     assert bench.check_plausible(floor * 1.01, DSFVT_SEQ_STEPS) is None
+
+
+@pytest.mark.parametrize("argv,msg", [
+    (["--mesh", "4"], "--skip-baseline"),
+    (["--mesh", "4", "--skip-baseline", "--batch", "10"], "divide evenly"),
+    (["--mesh", "4", "--skip-baseline", "--batch", "12", "--probe"],
+     "divide evenly"),
+    (["--full-recompute", "--attn", "pallas"], "no effect"),
+])
+def test_flag_validation_rejects_bad_combos(argv, msg, capsys, monkeypatch):
+    """The mesh/full-recompute flag guards exit at argparse time (before any
+    jax import), so misconfigured runs can't produce a mislabeled JSON."""
+    monkeypatch.setattr("sys.argv", ["bench.py"] + argv)
+    with pytest.raises(SystemExit) as ex:
+        bench.main()
+    assert ex.value.code == 2  # argparse error exit
+    assert msg in capsys.readouterr().err
