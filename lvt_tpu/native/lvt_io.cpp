@@ -168,6 +168,10 @@ int decode_png_file_rgb(const char* path, uint8_t* out, long out_cap,
   fseek(f, 0, SEEK_END);
   long len = ftell(f);
   fseek(f, 0, SEEK_SET);
+  if (len <= 0) {  // ftell failure (-1) would otherwise wrap to a huge
+    fclose(f);     // vector size and throw across the extern "C" boundary
+    return -11;
+  }
   std::vector<uint8_t> buf(len);
   if (fread(buf.data(), 1, len, f) != (size_t)len) {
     fclose(f);
