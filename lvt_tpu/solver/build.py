@@ -161,6 +161,44 @@ def _is_norm_path(path) -> bool:
                      "scale") for n in names if isinstance(n, str))
 
 
+def _norm_bias_keypaths(params) -> set:
+    """Key-paths of 'bias' leaves living in a norm param dict (exactly
+    {'scale', 'bias'} — the init_norm layout; 'scale' is used as a param
+    key nowhere else). The reference assigns ALL params of a norm MODULE
+    to the NORM decay group, its bias included (reference
+    solver/build.py:36-40 checks the module type before the name) — a
+    per-leaf path check cannot see the sibling 'scale', so this prepass
+    walks the tree once at trace time. Note one documented corner:
+    FrozenBN keeps scale/bias in params for checkpoint-layout parity with
+    gradients stopped; the reference excludes frozen params from the
+    optimizer entirely, so with a NONZERO norm decay ours would still
+    decay them (no shipped config sets both)."""
+    found = set()
+
+    def walk(node, path):
+        if isinstance(node, dict):
+            if set(node.keys()) == {"scale", "bias"}:
+                found.add(path + ("bias",))
+            for k, v in node.items():
+                walk(v, path + (k,))
+        elif isinstance(node, (list, tuple)):
+            for i, v in enumerate(node):
+                walk(v, path + (i,))
+
+    walk(params, ())
+    return found
+
+
+def _keypath_tuple(path) -> tuple:
+    """jax tree path -> hashable (str-or-int, ...) matching _norm_bias_
+    keypaths' walk (DictKey.key / GetAttrKey.name / SequenceKey.idx)."""
+    out = []
+    for p in path:
+        name = getattr(p, "key", getattr(p, "name", None))
+        out.append(name if isinstance(name, str) else getattr(p, "idx", name))
+    return tuple(out)
+
+
 def build_optimizer(cfg, suffix: str = "_G") -> optax.GradientTransformation:
     """Optimizer with the reference's hyperparameter suffix scheme
     (solver/build.py:46-74) and schedule baked in."""
@@ -172,17 +210,20 @@ def build_optimizer(cfg, suffix: str = "_G") -> optax.GradientTransformation:
 
     chain = []
     if any(w != 0.0 for w in (wd_base, wd_bias, wd_norm)):
-        def decay_mask_value(path, leaf):
-            if _is_norm_path(path):
-                return wd_norm
-            if _is_bias_path(path):
-                return wd_bias
-            return wd_base
-
         def add_decay(updates, state, params=None):
             assert params is not None
-            upd = jax.tree_util.tree_map_with_path(
-                lambda path, g, p: g + decay_mask_value(path, p) * p, updates, params)
+            norm_biases = _norm_bias_keypaths(params)
+
+            def decayed(path, g, p):
+                if _is_norm_path(path) or _keypath_tuple(path) in norm_biases:
+                    wd = wd_norm
+                elif _is_bias_path(path):
+                    wd = wd_bias
+                else:
+                    wd = wd_base
+                return g + wd * p
+
+            upd = jax.tree_util.tree_map_with_path(decayed, updates, params)
             return upd, state
 
         chain.append(optax.GradientTransformation(lambda p: (), add_decay))

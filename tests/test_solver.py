@@ -149,3 +149,55 @@ def test_opt_state_dtype_validation():
     cfg.SOLVER.OPT_STATE_DTYPE = "float16"
     with pytest.raises(ValueError, match="OPT_STATE_DTYPE"):
         build_optimizer(cfg)
+
+
+def test_norm_module_bias_gets_norm_decay():
+    """The reference assigns ALL params of a norm module to the NORM decay
+    group — the module-type check precedes the name check (reference
+    solver/build.py:36-40), so a BN/GN 'bias' takes weight_decay_norm, not
+    weight_decay_bias. Our norm param dicts are exactly {'scale','bias'}
+    (init_norm), so the decay router must treat such a dict's bias as norm.
+
+    Trick: RMSprop with alpha=1.0 keeps v == 0 (v <- 1*v + 0*g^2), so with
+    zero gradients the one-step update is -lr * (wd*p) / eps — directly
+    proportional to the decay coefficient routed to each leaf."""
+    wd_base, wd_bias, wd_norm = 0.5, 0.25, 0.125
+    cfg = get_cfg()
+    cfg.SOLVER.OPTIMIZER_NAME = "rmsprop"
+    cfg.SOLVER.LR_G = 1.0
+    cfg.SOLVER.RMSPROP.ALPHA_G = 1.0
+    cfg.SOLVER.RMSPROP.MOMENTUM_G = 0.0
+    cfg.SOLVER.WEIGHT_DECAY.BASE_G = wd_base
+    cfg.SOLVER.WEIGHT_DECAY.BIAS_G = wd_bias
+    cfg.SOLVER.WEIGHT_DECAY.NORM_G = wd_norm
+    cfg.SOLVER.LR_SCHEDULER_NAME = "Identity"
+
+    one = jnp.ones((3,))
+    params = {"netE": [
+        {"w": one, "b": one},                      # conv: base / bias
+        {"scale": one, "bias": one},               # norm layer: BOTH norm
+        {"w1": one, "n1": {"scale": one, "bias": one}},  # resblock norm
+    ]}
+    grads = jax.tree.map(jnp.zeros_like, params)
+    opt = build_optimizer(cfg)
+    updates, _ = opt.update(grads, opt.init(params), params)
+
+    def wd_of(update):
+        # update = -lr * wd * p / eps, lr=1, p=1, eps=1e-8
+        return float(-np.asarray(update)[0]) * 1e-8
+
+    got = {
+        "w": wd_of(updates["netE"][0]["w"]),
+        "b": wd_of(updates["netE"][0]["b"]),
+        "norm.scale": wd_of(updates["netE"][1]["scale"]),
+        "norm.bias": wd_of(updates["netE"][1]["bias"]),
+        "rb.w1": wd_of(updates["netE"][2]["w1"]),
+        "rb.n1.scale": wd_of(updates["netE"][2]["n1"]["scale"]),
+        "rb.n1.bias": wd_of(updates["netE"][2]["n1"]["bias"]),
+    }
+    want = {"w": wd_base, "b": wd_bias,
+            "norm.scale": wd_norm, "norm.bias": wd_norm,
+            "rb.w1": wd_base, "rb.n1.scale": wd_norm, "rb.n1.bias": wd_norm}
+    for k in want:
+        np.testing.assert_allclose(got[k], want[k], rtol=1e-4,
+                                   err_msg=f"decay group for {k}")
