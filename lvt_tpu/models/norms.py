@@ -10,9 +10,19 @@ exposes a name->norm factory (batch_norm.py:125-145) which we mirror:
                (batch_norm.py:163-232); no autograd Function needed, the
                psum differentiates itself
   "FrozenBN"-> inference-stats batch norm (batch_norm.py:12-122)
-  "IN"      -> instance norm
+  "IN"      -> instance norm (nn.InstanceNorm2d default: affine=False —
+               NO learnable params, parity with the reference factory which
+               never passes affine=True)
   "GN"      -> group norm (32 groups)
-  "StdN"    -> variance-only norm (batch_norm.py:235-251)
+  "StdN"    -> variance-only norm (batch_norm.py:235-243): x/sqrt(var+eps)
+               with torch's UNBIASED spatial variance and no parameters.
+               Reference quirk documented, not replicated: get_norm("StdN",
+               out_channels) passes the channel count positionally into
+               StdNorm2d(eps=...) so the reference's eps silently becomes
+               the channel count (e.g. 64); we keep eps=1e-5.
+  "StdNV2"  -> x * rsqrt(mean(x^2)+1e-8) (batch_norm.py:246-251); defined
+               upstream but absent from its get_norm map — kept here as a
+               usable extension, also parameterless
 
 State (running mean/var) is threaded explicitly: apply returns (y, new_state).
 Channels-last layouts: x is (..., C).
@@ -28,7 +38,9 @@ VALID_NORMS = ("", "BN", "SyncBN", "nnSyncBN", "FrozenBN", "IN", "GN", "StdN", "
 
 def init_norm(norm: str, num_features: int):
     """Returns (params, state) pytrees for a norm layer ('' -> ({}, {}))."""
-    if norm == "":
+    if norm in ("", "IN", "StdN", "StdNV2"):
+        # IN/StdN/StdNV2 are parameterless in the reference (InstanceNorm2d
+        # default affine=False; StdNorm2d defines no parameters)
         return {}, {}
     params = {"scale": jnp.ones((num_features,)), "bias": jnp.zeros((num_features,))}
     if norm in ("BN", "SyncBN", "nnSyncBN", "FrozenBN"):
@@ -50,6 +62,26 @@ def apply_norm(
 ) -> Tuple[jnp.ndarray, dict]:
     if norm == "":
         return x, state
+
+    if norm == "IN":
+        # per-sample spatial stats, no affine (nn.InstanceNorm2d default)
+        spatial = tuple(range(1, x.ndim - 1))
+        mean = jnp.mean(x, axis=spatial, keepdims=True)
+        var = jnp.var(x, axis=spatial, keepdims=True)
+        return (x - mean) * jax.lax.rsqrt(var + eps), state
+
+    if norm == "StdN":
+        # reference StdNorm2d: x / sqrt(var + eps), torch-default UNBIASED
+        # variance over the spatial dims, no affine
+        spatial = tuple(range(1, x.ndim - 1))
+        var = jnp.var(x, axis=spatial, keepdims=True, ddof=1)
+        return x * jax.lax.rsqrt(var + eps), state
+
+    if norm == "StdNV2":
+        spatial = tuple(range(1, x.ndim - 1))
+        ms = jnp.mean(x * x, axis=spatial, keepdims=True)
+        return x * jax.lax.rsqrt(ms + 1e-8), state
+
     scale, bias = params["scale"], params["bias"]
     if norm == "FrozenBN":
         # the reference's FrozenBatchNorm keeps weight/bias as
@@ -77,13 +109,6 @@ def apply_norm(
         y = (x - mean) * jax.lax.rsqrt(var + eps) * scale + bias
         return y, new_state
 
-    if norm == "IN":
-        # per-sample spatial stats: reduce over spatial dims only
-        spatial = tuple(range(1, x.ndim - 1))
-        mean = jnp.mean(x, axis=spatial, keepdims=True)
-        var = jnp.var(x, axis=spatial, keepdims=True)
-        return (x - mean) * jax.lax.rsqrt(var + eps) * scale + bias, state
-
     if norm == "GN":
         groups = 32
         c = x.shape[-1]
@@ -96,10 +121,5 @@ def apply_norm(
         var = jnp.var(xs, axis=axes, keepdims=True)
         y = ((xs - mean) * jax.lax.rsqrt(var + eps)).reshape(x.shape)
         return y * scale + bias, state
-
-    if norm in ("StdN", "StdNV2"):
-        spatial = tuple(range(1, x.ndim - 1))
-        var = jnp.var(x, axis=spatial, keepdims=True)
-        return x * jax.lax.rsqrt(var + eps) * scale + bias, state
 
     raise ValueError(f"Unknown norm: {norm}")

@@ -180,3 +180,42 @@ def test_frozen_bn_params_get_no_gradient(rng):
     g = jax.grad(loss)(p)
     assert float(jnp.abs(g["scale"]).max()) == 0.0
     assert float(jnp.abs(g["bias"]).max()) == 0.0
+
+
+def test_instance_and_std_norms_match_torch_and_are_paramless(rng):
+    """IN/StdN/StdNV2 parity (reference batch_norm.py:125-145, 235-251):
+    the reference factory builds nn.InstanceNorm2d with its affine=False
+    default and StdNorm2d defines no parameters — so these norms must carry
+    NO learnable params here, and their math must match torch. StdN uses
+    torch's default UNBIASED spatial variance. (Documented, not replicated:
+    get_norm('StdN', ch) upstream accidentally binds eps=ch — we keep the
+    class default 1e-5.)"""
+    import torch
+    import torch.nn as nn
+
+    from lvt_tpu.models.norms import apply_norm, init_norm
+
+    x = rng.standard_normal((2, 5, 7, 6)).astype(np.float32)  # NHWC
+    xt = torch.from_numpy(x).permute(0, 3, 1, 2)  # NCHW
+
+    for name in ("IN", "StdN", "StdNV2"):
+        p, s = init_norm(name, 6)
+        assert p == {} and s == {}, f"{name} must be parameterless"
+
+    got_in, _ = apply_norm("IN", {}, {}, jnp.asarray(x), train=True)
+    want_in = nn.InstanceNorm2d(6)(xt).permute(0, 2, 3, 1).numpy()
+    np.testing.assert_allclose(np.asarray(got_in), want_in,
+                               rtol=1e-5, atol=1e-5)
+
+    got_std, _ = apply_norm("StdN", {}, {}, jnp.asarray(x), train=True)
+    want_std = (xt / (xt.var(dim=(2, 3), keepdim=True) + 1e-5).sqrt())
+    want_std = want_std.permute(0, 2, 3, 1).numpy()
+    np.testing.assert_allclose(np.asarray(got_std), want_std,
+                               rtol=1e-5, atol=1e-5)
+
+    got_v2, _ = apply_norm("StdNV2", {}, {}, jnp.asarray(x), train=True)
+    want_v2 = xt * torch.rsqrt(torch.mean(xt ** 2, dim=(2, 3), keepdim=True)
+                               + 1e-8)
+    want_v2 = want_v2.permute(0, 2, 3, 1).numpy()
+    np.testing.assert_allclose(np.asarray(got_v2), want_v2,
+                               rtol=1e-5, atol=1e-5)
