@@ -95,13 +95,27 @@ def apply_norm(
         if train and norm != "FrozenBN":
             mean = jnp.mean(x, axis=reduce_axes)
             meansqr = jnp.mean(x * x, axis=reduce_axes)
-            if norm in ("SyncBN", "nnSyncBN") and axis_name is not None:
+            n = x.size // x.shape[-1]  # elements per channel, this shard
+            synced = norm in ("SyncBN", "nnSyncBN") and axis_name is not None
+            if synced:
                 mean = jax.lax.pmean(mean, axis_name)
                 meansqr = jax.lax.pmean(meansqr, axis_name)
+                n = n * jax.lax.axis_size(axis_name)
             var = meansqr - mean * mean
+            # running_var update: torch BatchNorm2d uses the UNBIASED batch
+            # variance (n/(n-1)) while normalizing with the biased one; the
+            # reference's NaiveSyncBatchNorm ("SyncBN") keeps the biased var
+            # when actually synced (batch_norm.py:225-232) but falls back to
+            # nn.BatchNorm2d semantics at world size 1 (:195-196).
+            # nn.SyncBatchNorm ("nnSyncBN") count-corrects globally.
+            if (norm == "BN" or norm == "nnSyncBN"
+                    or (norm == "SyncBN" and not synced)) and n > 1:
+                var_upd = var * (n / (n - 1))
+            else:
+                var_upd = var
             new_state = {
                 "mean": (1 - momentum) * state["mean"] + momentum * jax.lax.stop_gradient(mean),
-                "var": (1 - momentum) * state["var"] + momentum * jax.lax.stop_gradient(var),
+                "var": (1 - momentum) * state["var"] + momentum * jax.lax.stop_gradient(var_upd),
             }
         else:
             mean, var = state["mean"], state["var"]

@@ -219,3 +219,32 @@ def test_instance_and_std_norms_match_torch_and_are_paramless(rng):
     want_v2 = want_v2.permute(0, 2, 3, 1).numpy()
     np.testing.assert_allclose(np.asarray(got_v2), want_v2,
                                rtol=1e-5, atol=1e-5)
+
+
+def test_bn_running_stats_match_torch(rng):
+    """torch BatchNorm2d normalizes with the BIASED batch variance but
+    updates running_var with the UNBIASED one (n/(n-1)) — one train-mode
+    forward must reproduce both the output and the updated running stats."""
+    import torch
+    import torch.nn as nn
+
+    from lvt_tpu.models.norms import apply_norm, init_norm
+
+    x = rng.standard_normal((4, 5, 3, 6)).astype(np.float32)
+    p, s = init_norm("BN", 6)
+
+    bn = nn.BatchNorm2d(6, momentum=0.1)
+    bn.train()
+    want_y = bn(torch.from_numpy(x).permute(0, 3, 1, 2))
+    want_y = want_y.permute(0, 2, 3, 1).detach().numpy()
+
+    got_y, ns = apply_norm("BN", p, s, jnp.asarray(x), train=True,
+                           momentum=0.1)
+    np.testing.assert_allclose(np.asarray(got_y), want_y, rtol=1e-4,
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(ns["mean"]),
+                               bn.running_mean.numpy(), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(ns["var"]),
+                               bn.running_var.numpy(), rtol=1e-5, atol=1e-6,
+                               err_msg="running_var must use the UNBIASED "
+                                       "batch variance (torch semantics)")
