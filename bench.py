@@ -28,11 +28,12 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 def main():
     parser = argparse.ArgumentParser()
     # batch sweep with int8 KV + seg 16, device-staged inputs (BASELINE.md):
-    # 256->783.3, 512->812.0 fps. (The pre-staging-fix sweep read 512 as
+    # 256->783.3, 512->812.0, 1024->831.8 fps; 2048 cannot fit (int8 caches
+    # alone ~17 GB > 16 GB HBM). (The pre-staging-fix sweep read 512 as
     # flat at 604 — it was timing a 2.5 s host->device tunnel copy each
-    # iteration; with inputs staged once, 512 amortizes the per-pixel
-    # weight stream over 2x samples and wins ~4%.)
-    parser.add_argument("--batch", type=int, default=512)
+    # iteration; with inputs staged once, larger batches amortize the
+    # per-pixel weight stream and keep winning a few % each doubling.)
+    parser.add_argument("--batch", type=int, default=1024)
     parser.add_argument("--iters", type=int, default=5)
     parser.add_argument("--dtype", default="bfloat16", choices=["bfloat16", "float32"],
                         help="sampling weight/activation dtype (softmax/logits stay fp32)")
