@@ -56,7 +56,11 @@ def main():
                         help="KV-cache storage dtype in the sampler (int8 = "
                              "per-row absmax quantized caches, exact scale "
                              "folding, +58%% at batch 128; greedy agreement "
-                             "tested; --kv native for bit-exact caches)")
+                             "tested; --kv native for bit-exact caches — "
+                             "NOTE: native bf16 caches are 2x the int8 "
+                             "bytes, so the b1024 default only fits HBM "
+                             "with int8; use --batch 512 or less with "
+                             "native)")
     parser.add_argument("--seg", type=int, default=16,
                         help="KV-cache growth segment (0 = heuristic "
                              "max(64, block_run//4)). Sweep at "
@@ -105,6 +109,24 @@ def main():
             if val != default:
                 parser.error(f"--full-recompute bypasses the KV-cached "
                              f"sampler; {flag} {val} has no effect there")
+    else:
+        # HBM footprint gate (ADVICE r3): KV caches dominate residency —
+        # measured ~8.6 GB at batch 1024 with int8 KV (BASELINE.md). bf16
+        # caches carry 2x the bytes and fp32 4x, so `--kv native` at the
+        # b1024 default would blow v5e's 16 GB before the rollout starts.
+        rel_bytes = {"int4": 0.5, "int8": 1.0,
+                     "native": 4.0 if args.dtype == "float32" else 2.0}
+        per_chip_batch = args.batch // n_mesh
+        est_gb = 8.6 * (per_chip_batch / 1024.0) * rel_bytes[args.kv]
+        if est_gb > 14.0:
+            fit_batch = max(128, int(per_chip_batch * 12.0 / est_gb)
+                            // 128 * 128)
+            parser.error(
+                f"--kv {args.kv} (--dtype {args.dtype}) at batch "
+                f"{per_chip_batch}/chip needs ~{est_gb:.1f} GB of KV cache "
+                f"residency (scaling from the measured 8.6 GB at b1024 "
+                f"int8) — over v5e's 16 GB HBM. Lower --batch (~{fit_batch} "
+                f"fits) or use --kv int8.")
 
     import jax
     import jax.numpy as jnp

@@ -41,6 +41,11 @@ def test_threshold_is_exactly_the_floor():
     (["--mesh", "4", "--skip-baseline", "--batch", "12", "--probe"],
      "divide evenly"),
     (["--full-recompute", "--attn", "pallas"], "no effect"),
+    # HBM gate (ADVICE r3): native bf16 caches at the b1024 default are ~2x
+    # the int8 bytes (~17 GB > v5e's 16 GB); fp32 at b512 similarly
+    (["--kv", "native"], "16 GB HBM"),
+    (["--kv", "native", "--dtype", "float32", "--batch", "512"], "16 GB HBM"),
+    (["--batch", "2048"], "16 GB HBM"),
 ])
 def test_flag_validation_rejects_bad_combos(argv, msg, capsys, monkeypatch):
     """The mesh/full-recompute flag guards exit at argparse time (before any
