@@ -550,6 +550,44 @@ class VideoTransformer:
         logits_flat, _ = jax.lax.scan(body, init, jnp.arange(S))
         return logits_flat.reshape(b, T, H, W, nc, self.c.nv)
 
+    def logits_for_entire_video_incremental(self, params, video, *,
+                                            kv_cache_dtype: str = "native",
+                                            kv_seg_size: int = 0):
+        """Teacher-forced logits computed THROUGH the KV-cached incremental
+        decoder — same (b, T, H, W, nc, nv) contract as
+        logits_for_entire_video. With kv_cache_dtype="native" the result
+        matches the XLA teacher-forced path (same arithmetic, cached form);
+        with "int8"/"int4" it measures exactly the logit error the
+        quantized cache injects at full scale (VERDICT r3 #2 quality
+        accounting). fp32 output is b x 33.5 MB at DSFVT geometry — keep
+        batch modest or reduce on device before pulling to host.
+        """
+        from .vt_incremental import sample_slice_incremental
+
+        b, nc, T, H, W = video.shape
+        plan = self._plan_for(T, H, W)
+        t, h, w = plan.slice_shape
+        vflat = video.reshape(b, nc, -1)
+        sl_maps = jnp.asarray(plan.slice_src)
+        THW = T * H * W
+
+        logits_flat = jnp.zeros((b, THW, nc, self.c.nv), jnp.float32)
+        # python loop over slices (not lax.scan): each slice runs the same
+        # compiled segment scans; S is small and static
+        for s in range(plan.num_slices):
+            ctx = self._gather_ctx(plan, vflat, s)
+            sl = ss.gather_slice(vflat, sl_maps[s])
+            sidx = jnp.full((b,), s, jnp.int32)
+            zl = vt_encode(params["netG"], self.c, ctx, sidx,
+                           use_pallas=self.use_pallas)
+            _, _, lg = sample_slice_incremental(
+                params["netG"], self.c, plan.slice_shape, zl, sl,
+                jax.random.key(0), jnp.ones((t * h * w,), bool), 1.0,
+                kv_dtype=kv_cache_dtype, seg_size=kv_seg_size,
+                teacher_logits=True)  # (b, thw, nc, nv)
+            logits_flat = logits_flat.at[:, sl_maps[s].reshape(-1)].set(lg)
+        return logits_flat.reshape(b, T, H, W, nc, self.c.nv)
+
     # -- sampling ------------------------------------------------------------
     def sample_video(self, params, video, key, *, temp: float = 1.0,
                      n_prime: Optional[int] = None, class_idx=None,

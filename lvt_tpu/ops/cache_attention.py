@@ -87,9 +87,13 @@ def cache_attention_pallas(q, k8, ks, v8, vs, extra, scale, *, interpret=False):
 # Why a second kernel: every measured int8 cache-read path that CONVERTS the
 # cache elementwise tops out at ~100-120 GB/s on v5e — the VPU's int8->f32
 # convert runs at 1 element/lane/cycle, which IS that rate (128 lanes x 1 B
-# x ~0.94 GHz). XLA's batched cache dots (116 GB/s), a convert-then-bf16-dot
-# Pallas kernel (87 GB/s), and even a pure int8 reduce (76 GB/s) all sit on
-# this bound (tools/probe_layout3/4.py). The MXU, by contrast, ingests int8
+# x ~0.94 GHz). The r3 micro-probes (since deleted; NOTES_r3.md) read XLA's
+# batched cache dots at 116 GB/s, a convert-then-bf16-dot Pallas kernel at
+# 87, a pure int8 reduce at 76 — but tools/mfu.py --sample's end-to-end
+# accounting (r4) shows the REAL sampler's cache dots run ~5x faster: the
+# isolated probes serialized on the convert, while in the full step XLA
+# fuses the convert into the contraction and pipelines the 8 layers' DMA.
+# The MXU, by contrast, ingests int8
 # operands natively at 2 elements/lane/cycle (v5e int8 peak is 2x bf16), so
 # a kernel whose big operands reach the MXU AS int8 — dequantizing only the
 # small (na, cl) logits / (na, d) outputs — is the only formulation with

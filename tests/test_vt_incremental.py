@@ -244,6 +244,34 @@ def test_pallas_attn_tracks_native_on_block_geometries(rng, case_idx, seg):
         f"greedy agreement {agree:.3f} on case {case_idx} seg={seg}")
 
 
+@pytest.mark.parametrize("case_idx", [0, 1, 3])
+def test_teacher_logits_match_xla_path(rng, case_idx):
+    """logits_for_entire_video_incremental(kv native) must reproduce the
+    teacher-forced XLA logits: same arithmetic, cached form. This is the
+    exactness anchor for the int8-KV quality accounting (VERDICT r3 #2) —
+    with a quantized cache the SAME function then measures exactly the
+    logit error the quantization injects."""
+    stride, kernel, blocks, THW = CASES[case_idx]
+    cfg = _cfg(stride, kernel, blocks)
+    m = VideoTransformer(cfg, T=THW[0], H=THW[1], W=THW[2])
+    params, _ = m.init(jax.random.key(2))
+    video = jnp.asarray(
+        rng.integers(0, m.c.nv, size=(2, m.c.nc, *THW)), jnp.int32)
+    ref = np.asarray(m.logits_for_entire_video(params, video))
+    inc = np.asarray(m.logits_for_entire_video_incremental(params, video))
+    # fp32 params: only accumulation-order rounding differs (per-pixel GEMMs
+    # vs batched GEMMs)
+    np.testing.assert_allclose(inc, ref, rtol=2e-4, atol=2e-4)
+
+    # int8 cache: bounded deviation, not garbage — the full-scale error
+    # measurement lives in tools/quality_int8.py; here just pin the contract
+    q = np.asarray(m.logits_for_entire_video_incremental(
+        params, video, kv_cache_dtype="int8"))
+    assert np.isfinite(q).all()
+    scale = np.abs(ref).max()
+    assert np.abs(q - ref).max() < 0.25 * scale + 1e-3
+
+
 @pytest.mark.parametrize("case_idx", [0, 1])
 def test_pallas_attn_native_tracks_native(rng, case_idx):
     """attn_impl='pallas' with kv native (no quantization anywhere) must

@@ -67,6 +67,187 @@ def _analytic_vt_train_flops(model, batch: int, T: int = 16) -> float:
     return 3.0 * fwd  # backward ~ 2x forward
 
 
+def _sample_roofline(args):
+    """Analytic HBM-roofline accounting for the KV-cached AR sampler
+    (VERDICT r3 #1). Enumerates every mandatory byte the per-pixel step
+    moves — cache reads on the segmented schedule, scale rows, row writes,
+    segment-boundary concat copies, the batch-amortized weight stream,
+    conv-tap/emb/zlproj rows — plus analytic GEMM FLOPs, and compares the
+    speed-of-light step time against a measured rollout (either timed here
+    with --measure, or --seconds from a bench.py/bench_sample.py capture).
+
+    Reconciles the r3 micro-probe contradiction: probe_layout2/3 measured
+    ~116 GB/s on an ISOLATED one-layer cache dot (134 MB at full cl), but
+    the probe's chained scan serialized on the convert, while in the real
+    sampler XLA fuses the int8->bf16 convert into the contraction and the
+    8 layers' DMA pipelines across the step — the end-to-end number here is
+    the ground truth; the probes measured a formulation the sampler does
+    not use.
+    """
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from lvt_tpu.config import get_cfg
+    from lvt_tpu.models import cast_floats
+    from lvt_tpu.models.vt import VideoTransformer
+    from lvt_tpu.models.vt_incremental import conv_tap_table
+
+    root = os.path.join(os.path.dirname(__file__), "..")
+    cfg = get_cfg()
+    cfg.merge_from_file(os.path.join(root, args.config))
+    T = H = W = 16  # latent grid of the shipped pipeline
+    model = VideoTransformer(cfg, T=T, H=H, W=W)
+    c = model.c
+    plan = model._plan_for(T, H, W)
+    t, h, w = plan.slice_shape
+    thw = t * h * w
+    b = args.batch
+    L = len(c.blocks_d)
+    na, da, d, de = c.n_head_d[0], c.da, c.d, c.de
+    nada = na * da
+    act = 2 if args.dtype == "bfloat16" else 4
+    kv_bytes = {"int8": 1.0, "int4": 0.5, "native": float(act)}[args.kv]
+
+    # --- schedule ----------------------------------------------------------
+    blocks = [tuple(x) for x in c.blocks_d]
+    bt0, bh0, bw0 = blocks[0]
+    block_local = (len(set(blocks)) == 1 and bh0 == h and bw0 == w
+                   and t % bt0 == 0)
+    blk_run = bt0 * h * w if block_local else thw
+    seg = args.seg if args.seg > 0 else max(64, blk_run // 4)
+    seg = min(seg, blk_run)
+    bounds = list(range(seg, blk_run + 1, seg)) or [blk_run]
+    if bounds[-1] != blk_run:
+        bounds.append(blk_run)
+    # cache rows live in the buffer during pixel i of a run: the enclosing
+    # segment bound (vt_incremental.py segmented growth)
+    cl_of = np.zeros(blk_run)
+    lo = 0
+    for end in bounds:
+        cl_of[lo:end] = end
+        lo = end
+    mean_cl = float(cl_of.mean())
+    runs_per_slice = thw // blk_run
+
+    n_prime = args.n_prime if args.n_prime else cfg.TEST.VT_SAMPLER.N_PRIME
+    frames = np.asarray(plan.slice_src).reshape(plan.num_slices, -1) // (H * W)
+    sampled_slices = int(np.sum(~(frames < n_prime).all(axis=1)))
+    steps = sampled_slices * thw
+
+    nbr_np, _ = conv_tap_table((t, h, w))
+    Kp = nbr_np.shape[1]  # unmasked causal-conv taps
+
+    # --- bytes per pixel step (averaged over the rollout) ------------------
+    row = 2 * L * b * na * da * kv_bytes          # one K+V row, all layers
+    scale_row = 2 * L * b * na * act              # per-row absmax scales
+    int8 = args.kv in ("int8", "int4")
+    terms = {}
+    terms["kv_cache_reads"] = 2 * L * b * na * mean_cl * da * kv_bytes
+    terms["kv_scale_reads"] = 2 * L * b * na * mean_cl * act if int8 else 0.0
+    terms["kv_cache_writes"] = row + (scale_row if int8 else 0.0)
+    # segment-boundary concat copies: growing from bounds[i-1] to bounds[i]
+    # reads the old rows and writes the new buffer (+ the initial zero
+    # fill). ~10% of traffic at DSFVT b1024 seg16 — the preallocate-then-
+    # static-slice alternative that removes this term measured 3.5x slower
+    # end-to-end (XLA materializes the slice + convert; see
+    # vt_incremental.pixel_step docstring), so the copies stay.
+    pos_bytes = 2 * L * b * na * da * kv_bytes + (scale_row if int8 else 0.0)
+    row_moves = bounds[0] + sum(a + e for a, e in zip(bounds[:-1], bounds[1:]))
+    terms["cache_concat_copies"] = row_moves * pos_bytes / blk_run
+    # weight stream: every per-pixel matmul re-reads its weights each step
+    wqkv = d * 3 * nada
+    per_layer_w = wqkv + nada * d + 2 * d * d + (8 * d)  # + biases/LN rows
+    pred_w = sum((d + k * c.nv) * d + d * c.nv for k in range(c.nc)) + 4 * d
+    conv_w = Kp * de * d
+    terms["weight_stream"] = (L * per_layer_w + pred_w + conv_w) * act
+    # per-step row traffic: conv-tap emb gather, emb row write, zlproj row,
+    # pos row, channel-embedding rows for the sampled codes
+    terms["emb_conv_gather"] = b * Kp * de * act
+    terms["emb_row_write"] = b * de * act + b * c.nc * de * act
+    terms["zlproj_row"] = b * d * act
+    terms["bias_rows"] = L * na * mean_cl * 4.0
+    # sampler tail: nc channel logits (fp32) + categorical draw workspace
+    terms["pred_logits"] = b * c.nc * c.nv * 4.0
+    # per-slice costs amortized over the thw steps of the slice: zl (b, thw,
+    # d) written by the encoder then zlproj (b, thw, d) written + read
+    terms["zl_zlproj_slice"] = (3 * b * thw * d * act) / thw
+
+    bytes_per_step = float(sum(terms.values()))
+
+    # --- FLOPs per pixel step ----------------------------------------------
+    flops = b * L * 2.0 * (wqkv + nada * d + 2 * d * d)        # GEMMs
+    flops += b * L * 2 * 2 * na * mean_cl * da                 # QK^T + PV
+    flops += b * 2.0 * (sum((d + k * c.nv) * d + d * c.nv for k in range(c.nc)))
+    flops += b * 2.0 * Kp * de * d                             # causal conv
+    # per-slice encoder forward + zlproj GEMM, amortized per step
+    enc = 0.0
+    for blk, nh in zip(c.blocks_e, c.n_head_e):
+        bt, bh, bw = blk
+        enc += b * thw * (8 * d * nh * da + 4 * d * d
+                          + 4 * (bt * bh * bw) * nh * da)
+    enc += b * thw * 2 * d * d  # zlproj
+    flops_per_step = flops + enc / thw
+
+    kind = jax.devices()[0].device_kind
+    peak, peak_bw = next(((pk, bw) for k, pk, bw in DEVICE_SPECS
+                          if k in kind.lower()), (197.0, 819.0))
+    if not peak_bw:  # cpu fallback: the analytic model targets v5e
+        kind, peak, peak_bw = kind + " (modeled as v5e)", 197.0, 819.0
+    t_bytes = bytes_per_step / (peak_bw * 1e9)
+    t_flops = flops_per_step / (peak * 1e12)
+    t_sol = max(t_bytes, t_flops)
+
+    measured = None
+    if args.seconds:
+        measured = args.seconds / steps
+    elif args.measure:
+        from lvt_tpu.models import cast_floats as _cf
+        params, _ = model.init(jax.random.key(0))
+        if args.dtype == "bfloat16":
+            params = _cf(params, jnp.bfloat16)
+        rng = np.random.default_rng(0)
+        video = jax.device_put(rng.integers(
+            0, c.nv, size=(b, c.nc, T, H, W)).astype(np.int32))
+        fn = jax.jit(lambda v, k: model.sample_video(
+            params, v, k, n_prime=n_prime, kv_cache_dtype=args.kv,
+            kv_seg_size=args.seg))
+        key = jax.random.key(7)
+        int(np.asarray(fn(video, key)[0, 0, -1, 0, 0]))  # compile
+        times = []
+        for i in range(args.iters):
+            t0 = time.perf_counter()
+            out = fn(video, jax.random.fold_in(key, i))
+            int(np.asarray(out[0, 0, -1, 0, 0]))  # host read = fence
+            times.append(time.perf_counter() - t0)
+        measured = float(np.median(times)) / steps
+
+    out = {
+        "mode": "sample_roofline",
+        "config": os.path.basename(args.config),
+        "batch": b, "kv": args.kv, "seg": seg, "dtype": args.dtype,
+        "blk_run": blk_run, "mean_cache_rows": round(mean_cl, 1),
+        "pixel_steps": steps, "sampled_slices": sampled_slices,
+        "bytes_per_step_mb": {k: round(v / 1e6, 2) for k, v in terms.items()},
+        "total_mb_per_step": round(bytes_per_step / 1e6, 1),
+        "gflops_per_step": round(flops_per_step / 1e9, 2),
+        "sol_step_ms": round(t_sol * 1e3, 3),
+        "sol_bytes_ms": round(t_bytes * 1e3, 3),
+        "sol_flops_ms": round(t_flops * 1e3, 3),
+        "device_kind": kind, "peak_gbps": peak_bw,
+    }
+    if measured is not None:
+        out["measured_step_ms"] = round(measured * 1e3, 3)
+        out["hbm_gbps"] = round(bytes_per_step / measured / 1e9, 1)
+        out["hbm_util_pct"] = round(
+            100.0 * bytes_per_step / measured / (peak_bw * 1e9), 1)
+        out["sol_fraction"] = round(t_sol / measured, 3)
+        out["fps_per_chip"] = round(
+            b * (T - n_prime) / (measured * steps), 1)
+        out["fps_at_sol"] = round(b * (T - n_prime) / (t_sol * steps), 1)
+    print(json.dumps(out))
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--config", default="configs/vt/DSFVT.yaml")
@@ -81,7 +262,29 @@ def main():
                    help="TPU.FUSED_LAYER: whole-layer Pallas kernel")
     p.add_argument("--dtype", default=None, help="override TPU.COMPUTE_DTYPE")
     p.add_argument("--trace", default="", help="capture a profiler trace here")
+    p.add_argument("--sample", action="store_true",
+                   help="HBM-roofline accounting for the KV-cached AR "
+                        "sampler instead of the train step (VERDICT r3 #1)")
+    p.add_argument("--kv", default="int8", choices=["native", "int8", "int4"],
+                   help="[--sample] KV-cache storage dtype")
+    p.add_argument("--seg", type=int, default=16,
+                   help="[--sample] cache growth segment (0 = heuristic)")
+    p.add_argument("--n-prime", type=int, default=0,
+                   help="[--sample] priming frames (0 = config value)")
+    p.add_argument("--seconds", type=float, default=0.0,
+                   help="[--sample] measured rollout seconds from a bench "
+                        "capture (skips hardware timing)")
+    p.add_argument("--measure", action="store_true",
+                   help="[--sample] time sample_video here (real chip)")
+    p.add_argument("--iters", type=int, default=3,
+                   help="[--sample --measure] timed iterations")
     args = p.parse_args()
+
+    if args.sample:
+        if args.dtype is None:
+            args.dtype = "bfloat16"
+        _sample_roofline(args)
+        return
 
     import jax
     import numpy as np

@@ -1,0 +1,273 @@
+#!/usr/bin/env python
+"""Quality accounting for the lossy sampler defaults at flagship (DSFVT)
+scale — VERDICT r3 #2.
+
+The shipped headline (bench.py) samples with an int8-quantized KV cache;
+its quality evidence was tiny-model greedy agreement only. This tool puts
+numbers on the approximation at the REAL DSFVT geometry (T=H=W=16, nc=4,
+nv=512), using weights trained on a structured synthetic latent dataset
+(random-init weights would give near-uniform logits and flatter error than
+a real model):
+
+1. **Teacher-forced logit error** — logits through the KV-cached decoder
+   (`logits_for_entire_video_incremental`) with native vs int8 caches:
+   per-pixel max relative error (mean / p99 / max over non-prime
+   positions), plus teacher-forced bits/dim under both logit sets and the
+   XLA-path anchor (BitsEvaluator masking: prime frames excluded).
+2. **Greedy rollout divergence** — greedy samples from the same priming,
+   native vs int8 cache: first divergence point in the sampling order
+   (slice -> raster -> channel) and overall code agreement.
+3. **Distributional bits/dim** — temp-1.0 rollouts with IDENTICAL keys,
+   native vs int8 cache, each scored by the exact teacher-forced model:
+   if int8 sampling drifts off-distribution its samples score worse under
+   the exact model. This is the headline "int8 KV costs X bits/dim" row
+   for BASELINE.md.
+
+Reference anchor: the reference always samples exact fp32
+(vidgen/modeling/autoregressive/videotransformer.py:161-185) — every
+headline fps comparison against it should disclose this approximation cost.
+
+Usage: python tools/quality_int8.py [--iters 300] [--kv int8] [--seg 16]
+       [--cpu]   (CPU = smoke scale, full architecture)
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+
+def make_latents(n, nc, T, H, W, nv, seed=0):
+    """Structured synthetic latent-code videos: a coherent gradient
+    background plus two moving blocks, per-channel code offsets — enough
+    spatio-temporal structure for DSFVT to learn non-trivial CE (the same
+    idea as e2e_demo's moving-squares pixels, directly in code space)."""
+    rng = np.random.default_rng(seed)
+    vids = np.empty((n, nc, T, H, W), np.int32)
+    yy, xx = np.mgrid[0:H, 0:W]
+    for v in range(n):
+        phase = rng.integers(0, nv)
+        bg = ((xx * 7 + yy * 13 + phase) % (nv // 2)).astype(np.int64)
+        x0, y0 = rng.integers(0, H - 4, 2)
+        dx, dy = rng.integers(-2, 3, 2)
+        x1, y1 = rng.integers(0, H - 3, 2)
+        dx1, dy1 = rng.integers(-2, 3, 2)
+        c0, c1 = rng.integers(nv // 2, nv, 2)
+        for t in range(T):
+            f = bg.copy()
+            ax = int(np.clip(x0 + dx * t, 0, H - 4))
+            ay = int(np.clip(y0 + dy * t, 0, H - 4))
+            bx = int(np.clip(x1 + dx1 * t, 0, H - 3))
+            by = int(np.clip(y1 + dy1 * t, 0, H - 3))
+            f[ay:ay + 4, ax:ax + 4] = c0
+            f[by:by + 3, bx:bx + 3] = c1
+            for k in range(nc):
+                vids[v, k, t] = (f + k * 37) % nv
+    return vids
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--iters", type=int, default=None,
+                        help="DSFVT training iters (default 300, 5 w/ --cpu)")
+    parser.add_argument("--kv", default="int8", choices=["int8", "int4"])
+    parser.add_argument("--seg", type=int, default=16,
+                        help="kv_seg_size (bench.py default 16)")
+    parser.add_argument("--eval-batch", type=int, default=None,
+                        help="videos for the teacher-forced comparison "
+                             "(default 8, 2 w/ --cpu)")
+    parser.add_argument("--sample-batch", type=int, default=None,
+                        help="videos for the rollout comparisons "
+                             "(default 64, 2 w/ --cpu)")
+    parser.add_argument("--cpu", action="store_true",
+                        help="force CPU backend + smoke scale")
+    args = parser.parse_args()
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    if args.iters is None:
+        args.iters = 5 if args.cpu else 300
+    if args.eval_batch is None:
+        args.eval_batch = 2 if args.cpu else 8
+    if args.sample_batch is None:
+        args.sample_batch = 2 if args.cpu else 64
+
+    import jax.numpy as jnp
+
+    from lvt_tpu.config import get_cfg
+    from lvt_tpu.engine import Trainer
+    from lvt_tpu.models import cast_floats
+    from lvt_tpu.models.vt import VideoTransformer
+    from lvt_tpu.parallel.mesh import build_mesh
+
+    root = os.path.join(os.path.dirname(__file__), "..")
+    cfg = get_cfg()
+    cfg.merge_from_file(os.path.join(root, "configs", "vt", "DSFVT.yaml"))
+
+    # ---- train on structured synthetic latents ----------------------------
+    T = H = W = 16
+    vt = VideoTransformer(cfg, T=T, H=H, W=W)
+    c = vt.c
+    n_prime = cfg.TEST.VT_SAMPLER.N_PRIME
+    data = make_latents(128, c.nc, T, H, W, c.nv, seed=0)
+    train_bs = 8 if args.cpu else 64
+    rng = np.random.default_rng(1)
+
+    class Loader:
+        def __iter__(self):
+            while True:
+                yield {"video": data[rng.integers(0, len(data),
+                                                  size=train_bs)]}
+
+    t0 = time.perf_counter()
+    trainer = Trainer(cfg, Loader(), model=vt, mesh=build_mesh())
+    trainer.train(0, args.iters)
+    trainer.flush_metrics()
+    ce_hist = trainer.storage.history("loss_cross_entropy")
+    ce_final = float(ce_hist.median(min(20, args.iters)))
+    print(f"[train] {args.iters} iters in {time.perf_counter() - t0:.0f}s; "
+          f"CE -> {ce_final:.3f} nats (uniform {np.log(c.nv):.3f})",
+          file=sys.stderr)
+
+    params = cast_floats(trainer.state.params, jnp.bfloat16)  # bench regime
+    kv, seg = args.kv, args.seg
+    LN2 = float(np.log(2.0))
+
+    # ---- 1. teacher-forced logit error + bits/dim -------------------------
+    eval_videos = jnp.asarray(data[:args.eval_batch])
+
+    @jax.jit
+    def tf_compare(video):
+        ln = vt.logits_for_entire_video_incremental(
+            params, video, kv_cache_dtype="native", kv_seg_size=seg)
+        lq = vt.logits_for_entire_video_incremental(
+            params, video, kv_cache_dtype=kv, kv_seg_size=seg)
+        lx = vt.logits_for_entire_video(params, video)
+        target = jnp.moveaxis(video, 1, -1)  # (b, T, H, W, nc)
+        keep = (jnp.arange(T) >= n_prime).astype(jnp.float32)  # prime mask
+        keep_b = keep[None, :, None, None, None]
+
+        # per-pixel relative logit error over non-prime positions
+        err = jnp.max(jnp.abs(lq - ln), axis=-1)  # (b, T, H, W, nc)
+        den = jnp.max(jnp.abs(ln), axis=-1) + 1e-6
+        rel = err / den
+        w = jnp.broadcast_to(keep_b, rel.shape)
+        n_keep = jnp.sum(w)
+        rel_mean = jnp.sum(rel * w) / n_keep
+        rel_max = jnp.max(rel * w)
+        # -1 sentinel on masked entries sorts below every real value; with
+        # ~31% masked the 99th percentile still lands inside the kept set
+        rel_p99 = jnp.percentile(
+            jnp.where(w > 0, rel, -1.0).reshape(-1), 99)
+
+        def bpd(lg):  # BitsEvaluator masking: non-prime frames, all chans
+            lg = lg.astype(jnp.float32)
+            ce = (jax.nn.logsumexp(lg, axis=-1)
+                  - jnp.sum(lg * jax.nn.one_hot(target, c.nv), axis=-1))
+            return (jnp.sum(ce * keep_b)
+                    / jnp.sum(jnp.broadcast_to(keep_b, ce.shape)) / LN2)
+
+        return {"rel_mean": rel_mean, "rel_p99": rel_p99, "rel_max": rel_max,
+                "bpd_native": bpd(ln), "bpd_quant": bpd(lq),
+                "bpd_xla": bpd(lx)}
+
+    t0 = time.perf_counter()
+    tf = {k: float(v) for k, v in tf_compare(eval_videos).items()}
+    print(f"[tf] teacher-forced compare in {time.perf_counter() - t0:.0f}s",
+          file=sys.stderr)
+
+    # ---- 2. greedy rollout divergence --------------------------------------
+    sample_videos = jnp.asarray(data[:args.sample_batch])
+    key = jax.random.key(7)
+
+    @jax.jit
+    def rollout_greedy(video, k):
+        sn = vt.sample_video(params, video, k, n_prime=n_prime, greedy=True,
+                             kv_cache_dtype="native", kv_seg_size=seg)
+        sq = vt.sample_video(params, video, k, n_prime=n_prime, greedy=True,
+                             kv_cache_dtype=kv, kv_seg_size=seg)
+        return sn, sq
+
+    t0 = time.perf_counter()
+    sn, sq = rollout_greedy(sample_videos, key)
+    sn, sq = np.asarray(sn), np.asarray(sq)
+    print(f"[greedy] rollouts in {time.perf_counter() - t0:.0f}s",
+          file=sys.stderr)
+
+    plan = vt._plan_for(T, H, W)
+    order = np.asarray(plan.slice_src).reshape(plan.num_slices, -1)  # THW idx
+    b = sn.shape[0]
+    sn_f = sn.reshape(b, c.nc, -1)
+    sq_f = sq.reshape(b, c.nc, -1)
+    # sampling order: slice s -> raster p -> channel k
+    seq_n = sn_f[:, :, order.reshape(-1)]  # (b, nc, S*thw)
+    seq_q = sq_f[:, :, order.reshape(-1)]
+    neq = (seq_n != seq_q).transpose(0, 2, 1).reshape(b, -1)  # (b, steps*nc)
+    total_steps = neq.shape[1]
+    first_div = np.where(neq.any(axis=1), neq.argmax(axis=1), total_steps)
+    agree = float((sn == sq).mean())
+
+    # ---- 3. distributional bits/dim (temp-1.0, same keys) ------------------
+    @jax.jit
+    def rollout_t1(video, k):
+        sn = vt.sample_video(params, video, k, n_prime=n_prime,
+                             kv_cache_dtype="native", kv_seg_size=seg)
+        sq = vt.sample_video(params, video, k, n_prime=n_prime,
+                             kv_cache_dtype=kv, kv_seg_size=seg)
+        return sn, sq
+
+    @jax.jit
+    def score_bits(video):
+        lg = vt.logits_for_entire_video(params, video).astype(jnp.float32)
+        target = jnp.moveaxis(video, 1, -1)
+        keep = (jnp.arange(T) >= n_prime).astype(jnp.float32)
+        keep_b = keep[None, :, None, None, None]
+        ce = (jax.nn.logsumexp(lg, axis=-1)
+              - jnp.sum(lg * jax.nn.one_hot(target, c.nv), axis=-1))
+        return (jnp.sum(ce * keep_b)
+                / jnp.sum(jnp.broadcast_to(keep_b, ce.shape)) / LN2)
+
+    t0 = time.perf_counter()
+    tn, tq = rollout_t1(sample_videos, key)
+    bpd_sampled_native = float(score_bits(tn))
+    bpd_sampled_quant = float(score_bits(tq))
+    print(f"[temp1] rollouts + scoring in {time.perf_counter() - t0:.0f}s",
+          file=sys.stderr)
+
+    out = {
+        "mode": "quality_int8",
+        "config": "DSFVT.yaml", "kv": kv, "seg": seg,
+        "train_iters": args.iters, "train_ce_nats": round(ce_final, 4),
+        "eval_batch": args.eval_batch, "sample_batch": args.sample_batch,
+        "backend": jax.default_backend(),
+        # teacher-forced: the int8 cache's logit error at full scale
+        "tf_logit_rel_err_mean": round(tf["rel_mean"], 5),
+        "tf_logit_rel_err_p99": round(tf["rel_p99"], 5),
+        "tf_logit_rel_err_max": round(tf["rel_max"], 5),
+        "tf_bits_per_dim_native": round(tf["bpd_native"], 5),
+        "tf_bits_per_dim_quant": round(tf["bpd_quant"], 5),
+        "tf_bits_per_dim_xla_anchor": round(tf["bpd_xla"], 5),
+        "tf_bits_per_dim_delta": round(tf["bpd_quant"] - tf["bpd_native"], 5),
+        # greedy rollout: where the first code flips, over 11264 steps
+        "greedy_total_steps": int(total_steps),
+        "greedy_first_divergence_median": int(np.median(first_div)),
+        "greedy_first_divergence_min": int(first_div.min()),
+        "greedy_code_agreement": round(agree, 4),
+        # distributional: bits/dim of sampled codes under the exact model
+        "sampled_bits_per_dim_native_kv": round(bpd_sampled_native, 5),
+        "sampled_bits_per_dim_quant_kv": round(bpd_sampled_quant, 5),
+        "sampled_bits_per_dim_delta": round(
+            bpd_sampled_quant - bpd_sampled_native, 5),
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
