@@ -22,6 +22,7 @@ Three reference behaviors rebuilt here:
   less compute/memory traffic.
 """
 
+import os
 from functools import lru_cache, partial
 from typing import Optional, Tuple
 
@@ -159,6 +160,23 @@ def _ctx_encode_impl(ctx, table, stride):
     flat = table.reshape(nc * K, nv, de)
     flat = jnp.concatenate([jnp.zeros((nc * K, 1, de), flat.dtype), flat], axis=1)
     flat = flat.reshape(nc * K * (nv + 1), de)
+    impl = os.environ.get("LVT_CTX_IMPL", "gather_sum")
+    if impl == "chain":
+        # per-slot gather + running add: no (b, ncK, thw, de) intermediate
+        # ever materializes if XLA fuses the add chain into one loop fusion
+        gsl = gidx.reshape(b, nc * K, -1)  # (b, ncK, thw)
+        acc = jnp.zeros((b, t * h * w, de), flat.dtype)
+        for s in range(nc * K):
+            acc = acc + jnp.take(flat, gsl[:, s].reshape(-1),
+                                 axis=0).reshape(b, -1, de)
+        return acc.reshape(b, t, h, w, de)
+    if impl == "minor":
+        # reduce over the axis adjacent to the vector lanes instead of the
+        # majormost one (strided reductions read HBM at stride ncK*thw*de)
+        gperm = jnp.moveaxis(gidx.reshape(b, nc * K, -1), 1, 2)  # (b,thw,ncK)
+        emb = jnp.take(flat, gperm.reshape(-1), axis=0)
+        return emb.reshape(b, t * h * w, nc * K, de).sum(axis=2).reshape(
+            b, t, h, w, de)
     emb = jnp.take(flat, gidx.reshape(-1), axis=0)  # (b*nc*K*thw, de)
     return emb.reshape(b, nc * K, t, h, w, de).sum(axis=1)
 
