@@ -78,7 +78,10 @@ def main():
     parser.add_argument("--mesh", type=int, default=0,
                         help="data-parallel ways (0/1 = single device). "
                              "Shards the batch over an N-device data mesh "
-                             "(the v5e-8 serving scale-out); the metric "
+                             "(the v5e-8 serving scale-out — a PROJECTION "
+                             "on this 1-chip rig: correctness is "
+                             "CPU-mesh-tested, multi-chip fps is not a "
+                             "measurement); the metric "
                              "stays frames/sec/CHIP (total/N), detail "
                              "carries the total. Requires --skip-baseline: "
                              "vs_baseline is a same-chip algorithm "

@@ -170,6 +170,22 @@ def _ctx_encode_impl(ctx, table, stride):
             acc = acc + jnp.take(flat, gsl[:, s].reshape(-1),
                                  axis=0).reshape(b, -1, de)
         return acc.reshape(b, t, h, w, de)
+    if impl == "onehot":
+        # the backward's formulation applied to the FORWARD: one MXU dot
+        # per (channel, slot) — oh (b*thw, nv+1) @ table_slot (nv+1, de) —
+        # instead of the latency-bound row gather (NOTES_r3: 36% of
+        # roofline). Trades ncK one-hot builds (b*thw*(nv+1) each) for
+        # MXU-rate streaming of the same bytes.
+        gsl = gidx.reshape(b, nc * K, -1)  # (b, ncK, thw)
+        cols = jnp.arange(nv + 1, dtype=gidx.dtype)[None, :]
+        acc = jnp.zeros((b * t * h * w, de), flat.dtype)
+        for s in range(nc * K):
+            local = gsl[:, s, :].reshape(-1, 1) - s * (nv + 1)
+            oh = (local == cols).astype(flat.dtype)  # (b*thw, nv+1)
+            acc = acc + jax.lax.dot_general(
+                oh, flat[s * (nv + 1):(s + 1) * (nv + 1)],
+                dimension_numbers=(((1,), (0,)), ((), ())))
+        return acc.reshape(b, t, h, w, de)
     if impl == "minor":
         # reduce over the axis adjacent to the vector lanes instead of the
         # majormost one (strided reductions read HBM at stride ncK*thw*de)

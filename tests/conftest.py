@@ -19,6 +19,31 @@ import numpy as np
 import pytest
 
 
+def pytest_addoption(parser):
+    parser.addoption(
+        "--slow", action="store_true", default=False,
+        help="also run slow-tier tests (heavyweight parity sweeps, "
+             "convergence runs, CLI end-to-ends); without it the default "
+             "tier finishes in ~15 min")
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow: heavyweight tier — skipped by default; run with --slow "
+        "(or select explicitly via -m slow)")
+
+
+def pytest_collection_modifyitems(config, items):
+    # an explicit -m expression means the caller is choosing tiers directly
+    if config.getoption("--slow") or config.getoption("-m"):
+        return
+    skip = pytest.mark.skip(reason="slow tier: pass --slow to run")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)
+
+
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)

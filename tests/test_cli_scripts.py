@@ -152,7 +152,9 @@ TEST:
 """
 
 
-@pytest.mark.parametrize("with_checkpoint", [True, False])
+@pytest.mark.parametrize("with_checkpoint", [
+    True,  # the full path: load checkpoints, sample, decode, write videos
+    pytest.param(False, marks=pytest.mark.slow)])
 def test_generate_videos_cli(tmp_path, with_checkpoint):
     # priming frames: one 16x16 png video dir -> 4x4 latent grid
     vid_dir = tmp_path / "prime"

@@ -11,10 +11,13 @@ import os
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from lvt_tpu.config import get_cfg
 from lvt_tpu.engine import Trainer
 from lvt_tpu.parallel.mesh import build_mesh
+
+pytestmark = pytest.mark.slow  # real optimization runs, minutes each
 
 CONFIG_DIR = os.path.join(os.path.dirname(__file__), "..", "configs")
 

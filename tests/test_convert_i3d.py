@@ -92,6 +92,7 @@ def _fake_torch_state(flat, gamma_tables=None):
     return state
 
 
+@pytest.mark.slow
 def test_tf_npz_roundtrip(ref_flat, tmp_path):
     dump = _fake_tf_dump(ref_flat)
     out = conv.convert_tf_npz(dump)
@@ -108,6 +109,7 @@ def test_tf_npz_roundtrip(ref_flat, tmp_path):
     assert logits.shape == (1, 400) and bool(jnp.all(jnp.isfinite(logits)))
 
 
+@pytest.mark.slow
 def test_torch_roundtrip_unit_gamma(ref_flat):
     out = conv.convert_torch(_fake_torch_state(ref_flat))
     conv.validate(out)
@@ -135,6 +137,7 @@ def test_torch_gamma_fold_exact():
     np.testing.assert_allclose(ours, torch_out, rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_torch_gamma_fold_through_converter(ref_flat):
     """End-to-end: a gamma-bearing state dict converts to a tree whose
     normalized output matches the torch math on a probe unit."""
@@ -152,6 +155,7 @@ def test_torch_gamma_fold_through_converter(ref_flat):
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_validate_rejects_missing_and_bad_shape(ref_flat):
     broken = dict(ref_flat)
     del broken["Mixed_5c/Branch_3/Conv3d_0b_1x1/var"]
@@ -163,6 +167,7 @@ def test_validate_rejects_missing_and_bad_shape(ref_flat):
         conv.validate(broken)
 
 
+@pytest.mark.slow
 def test_converted_weights_drive_real_fvd_eval(ref_flat, tmp_path):
     """Full north-star chain: fabricated TF dump -> convert_i3d -> run_test
     (the train_net --eval-only core) with FVDEvaluator reports plain `FVD`,
@@ -259,6 +264,7 @@ INPUT:
     assert np.isfinite(gen["FVD"]) and gen["FVD"] >= 0
 
 
+@pytest.mark.slow
 def test_cli_end_to_end(ref_flat, tmp_path):
     src = str(tmp_path / "dump.npz")
     np.savez(src, **_fake_tf_dump(ref_flat))

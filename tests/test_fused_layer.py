@@ -81,8 +81,12 @@ def test_ffn_half_bwd_matches_xla_vjp(rng):
                                    rtol=2e-4, atol=2e-4, err_msg=name)
 
 
-@pytest.mark.parametrize("masked,na", [(False, 2), (True, 2), (True, 4),
-                                       (True, 3)])
+@pytest.mark.parametrize("masked,na", [
+    (False, 2), (True, 2),
+    # multi-head halves + the odd-head fallback: slow tier (each gradient
+    # comparison walks the full custom_vjp twice)
+    pytest.param(True, 4, marks=pytest.mark.slow),
+    pytest.param(True, 3, marks=pytest.mark.slow)])
 def test_fused_layer_grads_match_xla_layer(rng, masked, na):
     """End-to-end custom_vjp (fused fwd + FFN-half kernel + split
     attention-half kernels) vs autodiff through the unfused XLA layer.

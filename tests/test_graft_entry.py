@@ -14,12 +14,14 @@ def test_entry_compiles_and_runs():
     assert np.isfinite(float(loss))
 
 
+@pytest.mark.slow  # the driver re-runs dryrun_multichip(8) every round
 def test_dryrun_multichip_8():
     import __graft_entry__ as g
 
     g.dryrun_multichip(8)  # asserts internally
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_odd_world():
     import __graft_entry__ as g
 

@@ -5,6 +5,7 @@ share_p / share_embeddings predictor heads, UNet."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 import torch
 import torch.nn as nn
 
@@ -31,6 +32,7 @@ def _cfg(enc="ConvEncoder", gen="ConvDecoder"):
     return cfg
 
 
+@pytest.mark.slow  # full-size config walk; construction covered by test_configs_build
 def test_conv_encoder_decoder_shapes(rng):
     cfg = _cfg()
     enc = build_encoder(cfg)
@@ -56,6 +58,7 @@ def test_res_shuffle_decoder_matches_torch_pixelshuffle(rng):
     np.testing.assert_allclose(got.transpose(0, 3, 1, 2), ref, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_vqvae2_encoder_decoder(rng):
     cfg = _cfg(enc="VQVAE2Encoder", gen="VQVAE2Decoder")
     enc = build_encoder(cfg)

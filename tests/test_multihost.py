@@ -20,6 +20,7 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
+@pytest.mark.slow  # spawns 2 fresh interpreters, each recompiles the step
 def test_two_process_distributed_train_step():
     port = _free_port()
     env = dict(os.environ)

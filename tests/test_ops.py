@@ -331,6 +331,28 @@ def test_ctx_encode_custom_backward_matches_gather_vjp(rng, stride, kernel,
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4)
 
 
+@pytest.mark.parametrize("impl", ["chain", "minor", "onehot"])
+def test_ctx_encode_impl_variants_bit_match(rng, impl, monkeypatch):
+    """Every LVT_CTX_IMPL formulation (perf knobs for the 36%-of-roofline
+    ctx-table gather, NOTES_r3 tail accounting) must reproduce the default
+    gather_sum bit-for-bit — same rows summed in a different op order is
+    only exact because each table row enters the sum exactly once."""
+    from lvt_tpu.ops import conv as C
+
+    nc, nv, de = 2, 6, 8
+    stride, kernel = (4, 1, 1), (3, 1, 1)
+    t, h, w = 2, 4, 4
+    Tp, Hp, Wp = (t - 1) * 4 + 3, h, w
+    table = jnp.asarray(rng.standard_normal((nc, 3, 1, 1, nv, de)),
+                        jnp.float32)
+    ctx = jnp.asarray(
+        rng.integers(-1, nv, size=(3, nc, Tp, Hp, Wp)), jnp.int32)
+    want = np.asarray(C._ctx_encode_impl(ctx, table, stride))
+    monkeypatch.setenv("LVT_CTX_IMPL", impl)
+    got = np.asarray(C._ctx_encode_impl(ctx, table, stride))
+    np.testing.assert_array_equal(got, want)
+
+
 def test_take_rows_backward_matches_gather_vjp(rng):
     """ops.embedding.take_rows: forward == jnp.take; d(table) from the
     one-hot matmul == the natural scatter-add vjp, including grad flow

@@ -74,6 +74,7 @@ def _run(mesh, n_steps=2):
     return tr, losses, params
 
 
+@pytest.mark.slow  # the driver's dryrun_multichip re-proves this every round
 def test_tp_step_matches_replicated():
     _, losses_rep, params_rep = _run(build_mesh(data=8, model=1))
     tr, losses_tp, params_tp = _run(build_mesh(data=4, model=2))

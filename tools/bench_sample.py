@@ -44,6 +44,10 @@ def main():
                    "block run length)")
     p.add_argument("--dtype", default="bfloat16",
                    choices=["bfloat16", "float32"])
+    p.add_argument("--class-num", type=int, default=0,
+                   help="class-conditional sampling with this many classes "
+                        "(KDSFVT runs 600; adds the class-embedding concat "
+                        "to the encoder, videotransformer.py:29-31)")
     p.add_argument("--trace", default="", help="capture a profiler trace of "
                    "one timed iteration into this directory")
     args = p.parse_args()
@@ -59,6 +63,8 @@ def main():
     root = os.path.join(os.path.dirname(__file__), "..")
     cfg = get_cfg()
     cfg.merge_from_file(os.path.join(root, args.config))
+    if args.class_num > 0:
+        cfg.MODEL.AUTOREGRESSIVE.VT.CLASS_NUM = args.class_num
     T, H, W = 16, 16, 16
     model = VideoTransformer(cfg, T=T, H=H, W=W)
     params, _ = model.init(jax.random.key(0))
@@ -70,9 +76,12 @@ def main():
     rng = np.random.default_rng(0)
     video = jnp.asarray(
         rng.integers(0, model.c.nv, size=(B, model.c.nc, T, H, W)), jnp.int32)
+    class_idx = (jnp.asarray(rng.integers(0, args.class_num, size=(B,)),
+                             jnp.int32) if args.class_num > 0 else None)
 
     fn = jax.jit(lambda v, k: model.sample_video(
-        params, v, k, n_prime=n_prime, kv_cache_dtype=args.kv,
+        params, v, k, n_prime=n_prime, class_idx=class_idx,
+        kv_cache_dtype=args.kv,
         kv_seg_size=args.seg, weight_dtype=args.weights, mm_dtype=args.mm,
         attn_impl=args.attn))
     key = jax.random.key(7)
@@ -95,7 +104,7 @@ def main():
     print(json.dumps({
         "config": os.path.basename(args.config),
         "batch": B, "kv": args.kv, "seg": args.seg, "mm": args.mm,
-        "attn": args.attn,
+        "attn": args.attn, "class_num": args.class_num,
         "n_prime": n_prime,
         "seconds_median": round(med, 3),
         "seconds_min": round(min(times), 3),

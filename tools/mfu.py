@@ -198,6 +198,76 @@ def _sample_roofline(args):
     t_flops = flops_per_step / (peak * 1e12)
     t_sol = max(t_bytes, t_flops)
 
+    if args.probe_dot:
+        # Dot-rate micro-measurement (round 4): time EXACTLY the sampler's
+        # per-layer attention formulation (vt_incremental.py attn_impl=xla:
+        # K-dot with the int8->bf16 convert fused in, softmax + scale fold,
+        # V-dot) in isolation, serialized like the real sampler (each
+        # iteration's q depends on the previous output). Reports achieved
+        # GB/s on the mandatory cache bytes — the ceiling of the dominant
+        # kv_cache_reads term for this formulation.
+        rng = np.random.default_rng(0)
+        cdtype = jnp.bfloat16
+        results = {}
+        for cl in (int(round(mean_cl)), blk_run):
+            k8 = jnp.asarray(rng.integers(-127, 128, (b, na, cl, da)),
+                             jnp.int8)
+            v8 = jnp.asarray(rng.integers(-127, 128, (b, na, cl, da)),
+                             jnp.int8)
+            ks = jnp.asarray(rng.random((b, na, cl)) * 0.1 + 0.01, cdtype)
+            vs = jnp.asarray(rng.random((b, na, cl)) * 0.1 + 0.01, cdtype)
+            q0 = jnp.asarray(rng.standard_normal((b, na, da)), cdtype)
+
+            if args.kv == "native":
+                k8, v8 = k8.astype(cdtype), v8.astype(cdtype)
+
+            def chain(q0, k8, ks, v8, vs):
+                # the cache is part of the carry and one row is rewritten
+                # per iteration (the sampler's row write) — without this,
+                # XLA hoists the int8->bf16 dequant out of the scan and the
+                # probe times a materialized-bf16 cache instead of the
+                # fused convert the sampler actually runs
+                def body(carry, i):
+                    q, kc, vc = carry
+                    logits = jnp.einsum(
+                        "bak,bajk->baj", q, kc.astype(cdtype),
+                        preferred_element_type=jnp.float32) / np.sqrt(da)
+                    if args.kv != "native":
+                        logits = logits * ks.astype(jnp.float32)
+                    w = jax.nn.softmax(logits, axis=-1).astype(cdtype)
+                    if args.kv != "native":
+                        w = w * vs
+                    out = jnp.einsum("baj,bajk->bak", w, vc.astype(cdtype))
+                    row = out[:, :, None].astype(kc.dtype)
+                    kc = jax.lax.dynamic_update_slice_in_dim(kc, row, i, 2)
+                    vc = jax.lax.dynamic_update_slice_in_dim(vc, row, i, 2)
+                    return (out, kc, vc), ()
+                (q, _, _), _ = jax.lax.scan(
+                    body, (q0, k8, v8), jnp.arange(16) % k8.shape[2])
+                return q
+            fn = jax.jit(chain)
+            float(jnp.sum(fn(q0, k8, ks, v8, vs).astype(jnp.float32)))
+            times = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                r = fn(q0, k8, ks, v8, vs)
+                float(jnp.sum(r.astype(jnp.float32)))  # host read = fence
+                times.append(time.perf_counter() - t0)
+            per_iter = float(np.median(times)) / 16
+            kvb = {"int8": 1.0, "int4": 0.5, "native": 2.0}[args.kv]
+            byts = 2 * b * na * cl * da * kvb
+            if args.kv != "native":
+                byts += 2 * b * na * cl * 2  # bf16 scale rows
+            results[f"cl_{cl}"] = {
+                "ms": round(per_iter * 1e3, 3),
+                "gbps": round(byts / per_iter / 1e9, 1),
+                "util_pct": round(100 * byts / per_iter / (peak_bw * 1e9), 1)}
+        print(json.dumps({"mode": "probe_dot", "config":
+                          os.path.basename(args.config), "batch": b,
+                          "kv": args.kv, "na": na, "da": da,
+                          "device_kind": kind, **results}))
+        return
+
     measured = None
     if args.seconds:
         measured = args.seconds / steps
@@ -278,6 +348,11 @@ def main():
                    help="[--sample] time sample_video here (real chip)")
     p.add_argument("--iters", type=int, default=3,
                    help="[--sample --measure] timed iterations")
+    p.add_argument("--probe-dot", action="store_true",
+                   help="[--sample] time ONLY the sampler's attention "
+                        "contraction chain (fused int8 dequant K-dot + "
+                        "softmax + V-dot) at the real shapes — the "
+                        "achievable rate of the dominant traffic term")
     args = p.parse_args()
 
     if args.sample:

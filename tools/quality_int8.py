@@ -141,15 +141,28 @@ def main():
     LN2 = float(np.log(2.0))
 
     # ---- 1. teacher-forced logit error + bits/dim -------------------------
+    # one jit per logits path + a small reduction jit: packing all three
+    # teacher-forced programs into one executable produced a 110 MB MLIR
+    # module that OOM-killed the compile helper.
+    # kv_seg_size: ONE full-size segment for the teacher-forced pass. Each
+    # segment compiles its own scan body (8 unrolled layers); at seg 16 the
+    # teacher-forced program's 16 bodies per block run overflowed the
+    # executable proto (6.9 GB metadata, unserializable). Segment size is
+    # numerically inert — same rows, same per-row quantization, stale rows
+    # masked (tests/test_vt_incremental.py::
+    # test_seg_size_does_not_change_greedy_output) — so the measured logit
+    # error is exactly the shipped seg-16 sampler's. The ROLLOUTS below
+    # keep the shipped seg (their sampler body compiles fine; bench.py is
+    # the proof).
     eval_videos = jnp.asarray(data[:args.eval_batch])
 
+    logits_inc = jax.jit(lambda v, kvd: vt.logits_for_entire_video_incremental(
+        params, v, kv_cache_dtype=kvd, kv_seg_size=10**6),
+        static_argnums=(1,))
+    logits_xla = jax.jit(lambda v: vt.logits_for_entire_video(params, v))
+
     @jax.jit
-    def tf_compare(video):
-        ln = vt.logits_for_entire_video_incremental(
-            params, video, kv_cache_dtype="native", kv_seg_size=seg)
-        lq = vt.logits_for_entire_video_incremental(
-            params, video, kv_cache_dtype=kv, kv_seg_size=seg)
-        lx = vt.logits_for_entire_video(params, video)
+    def tf_metrics(ln, lq, lx, video):
         target = jnp.moveaxis(video, 1, -1)  # (b, T, H, W, nc)
         keep = (jnp.arange(T) >= n_prime).astype(jnp.float32)  # prime mask
         keep_b = keep[None, :, None, None, None]
@@ -179,7 +192,12 @@ def main():
                 "bpd_xla": bpd(lx)}
 
     t0 = time.perf_counter()
-    tf = {k: float(v) for k, v in tf_compare(eval_videos).items()}
+    ln = logits_inc(eval_videos, "native")
+    lq = logits_inc(eval_videos, kv)
+    lx = logits_xla(eval_videos)
+    tf = {k: float(v) for k, v in
+          tf_metrics(ln, lq, lx, eval_videos).items()}
+    del ln, lq, lx  # (b,T,H,W,nc,nv) fp32 buffers — free HBM for rollouts
     print(f"[tf] teacher-forced compare in {time.perf_counter() - t0:.0f}s",
           file=sys.stderr)
 
@@ -187,17 +205,15 @@ def main():
     sample_videos = jnp.asarray(data[:args.sample_batch])
     key = jax.random.key(7)
 
-    @jax.jit
-    def rollout_greedy(video, k):
-        sn = vt.sample_video(params, video, k, n_prime=n_prime, greedy=True,
-                             kv_cache_dtype="native", kv_seg_size=seg)
-        sq = vt.sample_video(params, video, k, n_prime=n_prime, greedy=True,
-                             kv_cache_dtype=kv, kv_seg_size=seg)
-        return sn, sq
+    # one executable per (kv dtype, greedy) combination — same compile-size
+    # reasoning as above
+    rollout = jax.jit(lambda v, k, kvd, g: vt.sample_video(
+        params, v, k, n_prime=n_prime, greedy=g,
+        kv_cache_dtype=kvd, kv_seg_size=seg), static_argnums=(2, 3))
 
     t0 = time.perf_counter()
-    sn, sq = rollout_greedy(sample_videos, key)
-    sn, sq = np.asarray(sn), np.asarray(sq)
+    sn = np.asarray(rollout(sample_videos, key, "native", True))
+    sq = np.asarray(rollout(sample_videos, key, kv, True))
     print(f"[greedy] rollouts in {time.perf_counter() - t0:.0f}s",
           file=sys.stderr)
 
@@ -216,14 +232,6 @@ def main():
 
     # ---- 3. distributional bits/dim (temp-1.0, same keys) ------------------
     @jax.jit
-    def rollout_t1(video, k):
-        sn = vt.sample_video(params, video, k, n_prime=n_prime,
-                             kv_cache_dtype="native", kv_seg_size=seg)
-        sq = vt.sample_video(params, video, k, n_prime=n_prime,
-                             kv_cache_dtype=kv, kv_seg_size=seg)
-        return sn, sq
-
-    @jax.jit
     def score_bits(video):
         lg = vt.logits_for_entire_video(params, video).astype(jnp.float32)
         target = jnp.moveaxis(video, 1, -1)
@@ -234,10 +242,20 @@ def main():
         return (jnp.sum(ce * keep_b)
                 / jnp.sum(jnp.broadcast_to(keep_b, ce.shape)) / LN2)
 
+    def score_chunked(videos, chunk=8):
+        # whole-batch logits at b=64 would be (64,T,H,W,nc,nv) fp32 ~ 8.6 GB
+        # of HBM; chunks keep one executable + bounded footprint (equal-size
+        # chunks => mean of chunk means == batch mean)
+        n = videos.shape[0]
+        assert n % chunk == 0
+        return float(np.mean([float(score_bits(videos[i:i + chunk]))
+                              for i in range(0, n, chunk)]))
+
     t0 = time.perf_counter()
-    tn, tq = rollout_t1(sample_videos, key)
-    bpd_sampled_native = float(score_bits(tn))
-    bpd_sampled_quant = float(score_bits(tq))
+    tn = rollout(sample_videos, key, "native", False)
+    tq = rollout(sample_videos, key, kv, False)
+    bpd_sampled_native = score_chunked(tn)
+    bpd_sampled_quant = score_chunked(tq)
     print(f"[temp1] rollouts + scoring in {time.perf_counter() - t0:.0f}s",
           file=sys.stderr)
 
