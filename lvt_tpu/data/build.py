@@ -92,6 +92,20 @@ class _PrefetchLoader:
                 idx = int(self._fallback_rng.integers(len(self._dicts)))
         raise RuntimeError(f"Mapper failed {self._max_retries} times in a row")
 
+    def _map_chunk(self, idxs) -> List[dict]:
+        return [self._map_one(i) for i in idxs]
+
+    def _map_batch(self, pool, batch_idx) -> List[dict]:
+        """One future per worker-sized contiguous chunk, not per item: at
+        reference VQ-VAE rates (11k imgs/s) the per-item future/lock
+        machinery cost ~55 us/item — comparable to the 75 us PNG decode
+        itself (profiled; BASELINE.md pipeline rows carry the measured
+        before/after). Contiguous chunks preserve batch order."""
+        k = min(self._workers, len(batch_idx))
+        size = (len(batch_idx) + k - 1) // k
+        chunks = [batch_idx[i:i + size] for i in range(0, len(batch_idx), size)]
+        return [s for part in pool.map(self._map_chunk, chunks) for s in part]
+
     @staticmethod
     def _put(q: queue.Queue, stop: threading.Event, item) -> bool:
         """Bounded put that gives up when the consumer is gone (a dropped
@@ -115,12 +129,12 @@ class _PrefetchLoader:
                         return
                     batch_idx.append(int(idx))
                     if len(batch_idx) == self._batch:
-                        samples = list(pool.map(self._map_one, batch_idx))
+                        samples = self._map_batch(pool, batch_idx)
                         if not self._put(q, stop, collate(samples)):
                             return
                         batch_idx = []
                 if batch_idx and not self._drop_last:
-                    samples = list(pool.map(self._map_one, batch_idx))
+                    samples = self._map_batch(pool, batch_idx)
                     if not self._put(q, stop, collate(samples)):
                         return
         except Exception as e:  # surface loader errors in the consumer

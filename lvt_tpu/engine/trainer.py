@@ -205,6 +205,18 @@ class Trainer(TrainerBase):
             from ..parallel.mesh import spatial_batch_sharding
 
             self._spatial_sharding = spatial_batch_sharding(self.mesh)
+        if not hasattr(self, "_narrow_i16"):
+            # code/class vocabularies are config-bounded: when they fit
+            # int16, ship those int32 batch fields across the host->device
+            # link at half width and cast back on device (exact — values
+            # < 2^15 round-trip bit-identically). Halves the dominant
+            # transport bytes of the VT pipeline on any link; decisive on
+            # this rig's ~18 MB/s tunnel (tools/bench_pipeline.py h2d rows)
+            vt_cfg = self.cfg.MODEL.AUTOREGRESSIVE.VT
+            self._narrow_i16 = {
+                k for k, bound in (("video", vt_cfg.NV),
+                                   ("class", vt_cfg.CLASS_NUM))
+                if 0 < bound < 2 ** 15}
         out = {}
         for k, v in batch.items():
             arr = np.asarray(v) if not isinstance(v, jnp.ndarray) else v
@@ -212,7 +224,13 @@ class Trainer(TrainerBase):
                 sharding = self._batch_sharding
                 if sp and k == "image" and arr.ndim == 4:
                     sharding = self._spatial_sharding
-                out[k] = jax.device_put(jnp.asarray(arr), sharding)
+                if (k in self._narrow_i16 and arr.dtype == np.int32
+                        and not isinstance(v, jnp.ndarray)):
+                    out[k] = jax.device_put(
+                        jnp.asarray(arr.astype(np.int16)),
+                        sharding).astype(jnp.int32)
+                else:
+                    out[k] = jax.device_put(jnp.asarray(arr), sharding)
         return out
 
     def flush_metrics(self):

@@ -207,6 +207,56 @@ def test_class_conditional_vt_trains(rng, tmp_path):
     assert last < first, f"loss did not decrease: {first} -> {last}"
 
 
+def test_put_batch_int16_transport_is_exact(rng, tmp_path):
+    """Code/class fields whose config-bounded vocabulary fits int16 cross
+    the host->device link narrowed and come back as bit-identical int32
+    (transport-byte halving, decisive on slow links); image floats and
+    configs with NV >= 2^15 are untouched."""
+    from lvt_tpu.models.vt import VideoTransformer
+
+    cfg = get_cfg()
+    cfg.MODEL.META_ARCHITECTURE = "VideoTransformerModel"
+    v = cfg.MODEL.AUTOREGRESSIVE.VT
+    v.NC, v.NV = 2, 8
+    v.KERNEL, v.STRIDE = (3, 1, 1), (4, 1, 1)
+    v.D, v.DA, v.DE = 32, 16, 16
+    v.BLOCKS_E = ((1, 4, 4),) * 2
+    v.N_HEAD_E = (2, 2)
+    v.BLOCKS_D = ((1, 4, 4),) * 2
+    v.N_HEAD_D = (2, 2)
+    v.N_PRIME = 1
+    v.CLASS_NUM = 6
+    cfg.SOLVER.IMS_PER_BATCH = 8
+    cfg.OUTPUT_DIR = str(tmp_path)
+
+    video = rng.integers(0, 8, size=(8, 2, 4, 4, 4)).astype(np.int32)
+    cls = rng.integers(0, 6, size=(8,)).astype(np.int32)
+    batch = {"video": video, "class": cls,
+             "image": rng.random((8, 4, 4, 3)).astype(np.float32)}
+
+    class L:
+        def __iter__(self):
+            while True:
+                yield dict(batch)
+
+    model = VideoTransformer(cfg, T=4, H=4, W=4)
+    trainer = Trainer(cfg, L(), model=model, mesh=build_mesh(data=4))
+    placed = trainer._put_batch(dict(batch))
+    assert trainer._narrow_i16 == {"video", "class"}
+    assert placed["video"].dtype == jnp.int32
+    np.testing.assert_array_equal(np.asarray(placed["video"]), video)
+    np.testing.assert_array_equal(np.asarray(placed["class"]), cls)
+    assert placed["image"].dtype == jnp.float32
+
+    # vocabulary too wide for int16 -> narrowing must stay off
+    cfg2 = cfg.clone()
+    cfg2.MODEL.AUTOREGRESSIVE.VT.NV = 2 ** 15
+    trainer2 = Trainer(cfg2, L(), model=VideoTransformer(cfg2, T=4, H=4, W=4),
+                       mesh=build_mesh(data=4))
+    trainer2._put_batch(dict(batch))
+    assert trainer2._narrow_i16 == {"class"}
+
+
 def test_lr_schedule_counts_iterations_under_accumulation(tmp_path):
     """optax's schedule count increments per optimizer.update (= once every
     A iterations under accumulation); WARMUP_ITERS/STEPS are

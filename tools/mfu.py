@@ -76,13 +76,14 @@ def _sample_roofline(args):
     speed-of-light step time against a measured rollout (either timed here
     with --measure, or --seconds from a bench.py/bench_sample.py capture).
 
-    Reconciles the r3 micro-probe contradiction: probe_layout2/3 measured
-    ~116 GB/s on an ISOLATED one-layer cache dot (134 MB at full cl), but
-    the probe's chained scan serialized on the convert, while in the real
-    sampler XLA fuses the int8->bf16 convert into the contraction and the
-    8 layers' DMA pipelines across the step — the end-to-end number here is
-    the ground truth; the probes measured a formulation the sampler does
-    not use.
+    Reconciles the r3 micro-probe contradiction (settled by --probe-dot on
+    chip, round 4): isolated one-layer cache-dot chains are LATENCY-bound,
+    not bandwidth-bound — the int8 chain measures 2.34 ms/iter (124 GB/s
+    implied) and the native chain, 2x the bytes with no convert, 2.71 ms
+    (211 GB/s implied). Neither number is a bandwidth ceiling. The real
+    sampler runs 8 such chains per pixel step and XLA overlaps their DMA
+    with neighboring layers' compute: 558 GB/s aggregate, 68% of peak —
+    the end-to-end measurement here is the ground truth.
     """
     import jax
     import jax.numpy as jnp
