@@ -160,7 +160,16 @@ def _ctx_encode_impl(ctx, table, stride):
     flat = table.reshape(nc * K, nv, de)
     flat = jnp.concatenate([jnp.zeros((nc * K, 1, de), flat.dtype), flat], axis=1)
     flat = flat.reshape(nc * K * (nv + 1), de)
-    impl = os.environ.get("LVT_CTX_IMPL", "gather_sum")
+    impl = os.environ.get("LVT_CTX_IMPL", "")
+    if not impl:
+        # auto-select: gather_sum materializes a (b, ncK, thw, de)
+        # intermediate before reducing — 11.25 GB at DSTSVT b1024 (nc*K=45
+        # for its (5,3,3) kernel), a hard HBM OOM. chain measured
+        # perf-neutral on chip in both training (DSFVT b64: 53.9 vs
+        # 54.0 ms/it) and sampling (DSTSVT b512: 517.7 vs 520.4 fps), so
+        # switch to it whenever the intermediate would crowd HBM (>2 GB).
+        inter = b * nc * K * t * h * w * de * flat.dtype.itemsize
+        impl = "chain" if inter > 2 ** 31 else "gather_sum"
     if impl == "chain":
         # per-slot gather + running add: no (b, ncK, thw, de) intermediate
         # ever materializes if XLA fuses the add chain into one loop fusion
