@@ -42,11 +42,15 @@ def main():
                         help="stream per-pixel decoder weights as int8 "
                              "('int8-pallas' = native int8 MXU GEMM kernel, "
                              "quantizes activation rows too)")
-    parser.add_argument("--attn", default="xla", choices=["xla", "pallas"],
+    parser.add_argument("--attn", default="xla",
+                        choices=["xla", "pallas", "pallas-live"],
                         help="per-pixel attention impl: 'pallas' = fused-"
                              "lane decode kernel (with --kv int8: native "
                              "int8 MXU dots, supersedes --mm; with --kv "
-                             "native: unquantized bf16 dots)")
+                             "native: unquantized bf16 dots); 'pallas-live'"
+                             " = full preallocated buffer + live-length "
+                             "flash-decode kernel (requires --kv int8; no "
+                             "segment concat copies)")
     parser.add_argument("--mm", default="native", choices=["native", "int8"],
                         help="run the sampler's attention contractions as "
                              "int8 x int8 MXU dots reading the cache bytes "
@@ -86,6 +90,20 @@ def main():
                              "carries the total. Requires --skip-baseline: "
                              "vs_baseline is a same-chip algorithm "
                              "comparison and is not defined at mesh scale")
+    parser.add_argument("--streams", type=int, default=1,
+                        help="independent rollout streams advanced "
+                             "alternately inside the pixel scan (each "
+                             "carries batch/streams rows and its own KV "
+                             "caches; a stream's serial latency hides "
+                             "under the others' cache DMA). Greedy-exact; "
+                             "temp sampling uses per-stream keys")
+    parser.add_argument("--no-hbm-gate", action="store_true",
+                        help="skip the KV-cache HBM footprint pre-check "
+                             "(the gate extrapolates linearly from one "
+                             "measured point and slightly over-counts "
+                             "native KV, which carries no scale rows — "
+                             "near-threshold configs that actually fit can "
+                             "use this to run anyway)")
     parser.add_argument("--probe", action="store_true",
                         help="also time one half-batch run and check that "
                              "gen_seconds scales ~linearly (costs one extra "
@@ -108,7 +126,8 @@ def main():
         # run never used
         for flag, val, default in (("--attn", args.attn, "xla"),
                                    ("--weights", args.weights, "native"),
-                                   ("--mm", args.mm, "native")):
+                                   ("--mm", args.mm, "native"),
+                                   ("--streams", args.streams, 1)):
             if val != default:
                 parser.error(f"--full-recompute bypasses the KV-cached "
                              f"sampler; {flag} {val} has no effect there")
@@ -121,15 +140,23 @@ def main():
                      "native": 4.0 if args.dtype == "float32" else 2.0}
         per_chip_batch = args.batch // n_mesh
         est_gb = 8.6 * (per_chip_batch / 1024.0) * rel_bytes[args.kv]
-        if est_gb > 14.0:
+        if est_gb > 14.0 and not args.no_hbm_gate:
             fit_batch = max(128, int(per_chip_batch * 12.0 / est_gb)
                             // 128 * 128)
-            parser.error(
+            msg = (
                 f"--kv {args.kv} (--dtype {args.dtype}) at batch "
                 f"{per_chip_batch}/chip needs ~{est_gb:.1f} GB of KV cache "
                 f"residency (scaling from the measured 8.6 GB at b1024 "
                 f"int8) — over v5e's 16 GB HBM. Lower --batch (~{fit_batch} "
                 f"fits) or use --kv int8.")
+            if est_gb <= 16.0:
+                # borderline: the estimate is a linear extrapolation and
+                # over-counts native KV (no scale rows) — warn, don't block
+                sys.stderr.write(
+                    f"bench.py: WARNING: {msg} Proceeding anyway (estimate "
+                    f"is borderline; pass --no-hbm-gate to silence).\n")
+            else:
+                parser.error(msg + " (--no-hbm-gate overrides)")
 
     import jax
     import jax.numpy as jnp
@@ -201,7 +228,8 @@ def main():
                                       kv_seg_size=args.seg,
                                       weight_dtype=args.weights,
                                       mm_dtype=args.mm,
-                                      attn_impl=args.attn)
+                                      attn_impl=args.attn,
+                                      streams=args.streams)
             idx = jnp.transpose(sampled, (0, 2, 3, 4, 1)).reshape(
                 batch * 16, 16, 16, vt.c.nc)
             out = vq.decode(vq_params, vq_state, idx)
@@ -288,6 +316,7 @@ def main():
             "mm": None if args.full_recompute else args.mm,
             "seg": None if args.full_recompute else args.seg,
             "attn": None if args.full_recompute else args.attn,
+            "streams": None if args.full_recompute else args.streams,
             "sampler": "full_recompute" if args.full_recompute else "kv_cache",
             "mesh_data": n_mesh,
             "fps_total_all_chips": round(fps_total, 3) if n_mesh > 1 else None,

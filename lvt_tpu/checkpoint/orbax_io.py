@@ -57,13 +57,35 @@ def latest_checkpoint(output_dir: str) -> Optional[str]:
     return os.path.join(checkpoint_dir(output_dir), entries[-1][1])
 
 
+def _restore_args_for(target: Any):
+    """Explicit per-leaf restore args carrying each target leaf's sharding.
+
+    When the target tree holds mesh-placed jax.Arrays (GSPMD training
+    state), Orbax must be told the destination shardings explicitly —
+    restoring without them falls back to the checkpoint's RECORDED device
+    layout, which Orbax itself warns is "unsafe when restoring on a
+    different topology than the checkpoint was saved with". With explicit
+    shardings the restore is topology-change-safe: values land directly on
+    the current mesh regardless of the mesh they were saved under
+    (tests/test_checkpoint_sharded.py)."""
+    import jax
+
+    if not any(isinstance(leaf, jax.Array)
+               for leaf in jax.tree_util.tree_leaves(target)):
+        return None
+    return ocp.checkpoint_utils.construct_restore_args(target)
+
+
 def load_checkpoint(path: str, target: Any, *, partial: bool = False) -> Any:
     """Restore a checkpoint into the structure of ``target``; partial=True
     restores only the keys present in target (e.g. params without
-    optimizer state for eval-only loads)."""
+    optimizer state for eval-only loads). Target leaves that are
+    jax.Arrays are restored WITH their shardings (see _restore_args_for)."""
     with ocp.PyTreeCheckpointer() as ckptr:
         return ckptr.restore(
-            path, ocp.args.PyTreeRestore(item=target, partial_restore=partial))
+            path, ocp.args.PyTreeRestore(
+                item=target, restore_args=_restore_args_for(target),
+                partial_restore=partial))
 
 
 def resume_or_load(output_dir: str, target: Any, *, resume: bool = True) -> Any:

@@ -213,10 +213,12 @@ class Trainer(TrainerBase):
             # transport bytes of the VT pipeline on any link; decisive on
             # this rig's ~18 MB/s tunnel (tools/bench_pipeline.py h2d rows)
             vt_cfg = self.cfg.MODEL.AUTOREGRESSIVE.VT
-            self._narrow_i16 = {
-                k for k, bound in (("video", vt_cfg.NV),
-                                   ("class", vt_cfg.CLASS_NUM))
+            self._i16_bounds = {
+                k: bound for k, bound in (("video", vt_cfg.NV),
+                                          ("class", vt_cfg.CLASS_NUM))
                 if 0 < bound < 2 ** 15}
+            self._narrow_i16 = set(self._i16_bounds)
+            self._i16_checked = set()
         out = {}
         for k, v in batch.items():
             arr = np.asarray(v) if not isinstance(v, jnp.ndarray) else v
@@ -226,6 +228,23 @@ class Trainer(TrainerBase):
                     sharding = self._spatial_sharding
                 if (k in self._narrow_i16 and arr.dtype == np.int32
                         and not isinstance(v, jnp.ndarray)):
+                    if k not in self._i16_checked:
+                        # one-time host guard (ADVICE r4): the narrowing
+                        # trusts the config bound; actual out-of-range codes
+                        # (e.g. latents from a larger-codebook VQ-VAE fed to
+                        # a mismatched VT config) would silently wrap at
+                        # int16 and corrupt data before the loss. Checked on
+                        # the first batch per key — a config mismatch is
+                        # systematic, not per-batch.
+                        lo, hi = int(arr.min()), int(arr.max())
+                        bound = self._i16_bounds[k]
+                        if lo < 0 or hi >= bound:
+                            raise ValueError(
+                                f"batch field '{k}' has values in [{lo}, "
+                                f"{hi}] but the config bounds it to [0, "
+                                f"{bound}) — mismatched dataset/config "
+                                f"(int16 transport would wrap silently)")
+                        self._i16_checked.add(k)
                     out[k] = jax.device_put(
                         jnp.asarray(arr.astype(np.int16)),
                         sharding).astype(jnp.int32)

@@ -550,7 +550,8 @@ class VideoTransformer:
         logits_flat, _ = jax.lax.scan(body, init, jnp.arange(S))
         return logits_flat.reshape(b, T, H, W, nc, self.c.nv)
 
-    def logits_for_entire_video_incremental(self, params, video, *,
+    def logits_for_entire_video_incremental(self, params, video,
+                                            class_idx=None, *,
                                             kv_cache_dtype: str = "native",
                                             kv_seg_size: int = 0):
         """Teacher-forced logits computed THROUGH the KV-cached incremental
@@ -578,7 +579,7 @@ class VideoTransformer:
             ctx = self._gather_ctx(plan, vflat, s)
             sl = ss.gather_slice(vflat, sl_maps[s])
             sidx = jnp.full((b,), s, jnp.int32)
-            zl = vt_encode(params["netG"], self.c, ctx, sidx,
+            zl = vt_encode(params["netG"], self.c, ctx, sidx, class_idx,
                            use_pallas=self.use_pallas)
             _, _, lg = sample_slice_incremental(
                 params["netG"], self.c, plan.slice_shape, zl, sl,
@@ -594,7 +595,7 @@ class VideoTransformer:
                      incremental: bool = True, greedy: bool = False,
                      kv_cache_dtype: str = "native", kv_seg_size: int = 0,
                      weight_dtype: str = "native", mm_dtype: str = "native",
-                     attn_impl: str = "xla"):
+                     attn_impl: str = "xla", streams: int = 1):
         """AR-sample all non-primed positions (reference sample_video,
         vt.py:82-136) as a scan over slices x pixels, jit-compatible.
 
@@ -610,7 +611,8 @@ class VideoTransformer:
             # like bench.py pass their defaults through)
             for name, val, default in (("weight_dtype", weight_dtype, "native"),
                                        ("mm_dtype", mm_dtype, "native"),
-                                       ("attn_impl", attn_impl, "xla")):
+                                       ("attn_impl", attn_impl, "xla"),
+                                       ("streams", streams, 1)):
                 if val != default:
                     raise ValueError(
                         f"sample_video(incremental=False) ignores {name}; "
@@ -647,7 +649,8 @@ class VideoTransformer:
                         params["netG"], c, plan.slice_shape, zl, sl, key,
                         primed, temp, greedy=greedy, kv_dtype=kv_cache_dtype,
                         seg_size=kv_seg_size, weight_dtype=weight_dtype,
-                        mm_dtype=mm_dtype, attn_impl=attn_impl)
+                        mm_dtype=mm_dtype, attn_impl=attn_impl,
+                        streams=streams)
                 return self._sample_slice_pixels(params, zl, sl, key, primed,
                                                  temp, greedy=greedy)
 

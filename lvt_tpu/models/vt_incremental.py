@@ -28,6 +28,7 @@ import numpy as np
 
 from ..ops.attention import BlockAttnParams, relative_bias
 from ..ops.cache_attention import (blockdiag_expand,
+                                   decode_attention_i8_live_pallas,
                                    decode_attention_i8_pallas,
                                    decode_attention_pallas)
 from ..ops.fused_layer import _wqkv_flat
@@ -150,6 +151,7 @@ def sample_slice_incremental(params, c: VTConfig, slice_shape, zl, sl, key,
                              weight_dtype: str = "native",
                              mm_dtype: str = "native",
                              attn_impl: str = "xla",
+                             streams: int = 1,
                              teacher_logits: bool = False):
     """Exact AR sampling of one slice with cached decoder state.
 
@@ -198,13 +200,34 @@ def sample_slice_incremental(params, c: VTConfig, slice_shape, zl, sl, key,
     rounding: q and folded weights at int8 (~0.4% rel), on top of the K/V
     rounding the int8 cache already has.
 
+    streams: split the batch into this many INDEPENDENT rollout streams
+    advanced alternately inside one scan body (VERDICT r4 #1a). The AR
+    dependency chain is per-stream — stream A's serial latency (8 strictly
+    sequential layers with a softmax between the two dots of each, the
+    un-hidden 32% of the r4 roofline) can hide under stream B's cache DMA,
+    because XLA's latency-hiding scheduler sees two disjoint dataflow
+    chains per pixel step. Batch-halving cost is known small (b512->b1024
+    gained only +2.4%, BASELINE.md). Greedy output is bit-identical to
+    streams=1 (same arithmetic per stream, tested); temp sampling draws
+    per-stream keys, so sampled values differ from streams=1 (same
+    distribution).
+
     attn_impl: "pallas" runs the per-pixel attention as a Pallas decode
     kernel (ops/cache_attention.py) over fused-lane (b, cl, na*da)
     caches with block-diagonal q. With kv_dtype="int8": native int8 MXU
     dots, same rounding behavior as mm_dtype="int8" (which it supersedes
     when active). With kv_dtype="native": bf16/f32 dots, no quantization
     anywhere. "xla" (default) keeps the einsum formulation on the
-    (b, na, cl, da) layout. Data-axis (DP) sharded
+    (b, na, cl, da) layout. "pallas-live" (requires kv_dtype="int8") is
+    the full-buffer kernel named as the precondition in pixel_step's
+    3.5x-regression note: ONE preallocated fused-lane buffer per layer
+    sized at the block run, a flash-decode kernel that DMAs only
+    ceil(live/rtile) row tiles (the scalar-prefetched live length drives
+    the BlockSpec index maps; dead tiles alias to the last live tile,
+    which Pallas's block-revisit detection turns into no DMA), int8
+    dequant fused into the dots — removes BOTH the segment concat copies
+    (10.2% of r4 traffic) and the grow/shrink machinery (seg_size is
+    ignored; stale rows are live-masked, never zeroed). Data-axis (DP) sharded
     serving works (tests/test_multichip_sampling.py); for TENSOR-parallel
     serving (model axis > 1) use attn_impl="xla" — GSPMD cannot split an
     opaque kernel call over the head dimension.
@@ -221,9 +244,16 @@ def sample_slice_incremental(params, c: VTConfig, slice_shape, zl, sl, key,
     if mm_dtype == "int8" and kv_dtype != "int8":
         raise ValueError("mm_dtype='int8' requires kv_dtype='int8' "
                          "(the dots read the int8 cache bytes directly)")
-    if attn_impl not in ("xla", "pallas"):
+    if attn_impl not in ("xla", "pallas", "pallas-live"):
+        raise ValueError(f"attn_impl must be 'xla', 'pallas' or "
+                         f"'pallas-live', got {attn_impl!r}")
+    if attn_impl == "pallas-live" and kv_dtype != "int8":
+        raise ValueError("attn_impl='pallas-live' requires kv_dtype='int8' "
+                         "(full-buffer int8 flash-decode kernel)")
+    if streams < 1 or sl.shape[0] % streams:
         raise ValueError(
-            f"attn_impl must be 'xla' or 'pallas', got {attn_impl!r}")
+            f"streams={streams} must be >=1 and divide the batch "
+            f"({sl.shape[0]})")
     if attn_impl == "pallas" and kv_dtype not in ("int8", "native"):
         raise ValueError("attn_impl='pallas' supports kv_dtype 'int8' "
                          "(int8 MXU dots over fused-lane int8 caches) or "
@@ -236,7 +266,15 @@ def sample_slice_incremental(params, c: VTConfig, slice_shape, zl, sl, key,
     # scale-folded softmax weights are absmax-quantized per (batch, head));
     # see ops/cache_attention.py for why this is the only formulation with
     # HBM headroom past the VPU's ~120 GB/s int8 convert bound.
-    pallas_attn = attn_impl == "pallas"
+    pallas_attn = attn_impl in ("pallas", "pallas-live")
+    # pallas-live (VERDICT r4 #1b): ONE preallocated fused-lane buffer per
+    # layer, sized at the block run, reused unmodified for the whole
+    # rollout. The flash-decode kernel takes the live length p_loc+1 and
+    # only DMAs ceil(live/rtile) row tiles — no segment concat copies
+    # (10.2% of r4 traffic), no grow/shrink, no stale-row zeroing (rows
+    # >= live are masked in-kernel, so the previous block run's rows are
+    # simply never read).
+    live_attn = attn_impl == "pallas-live"
     # int4: same per-row absmax scheme at 15 levels; storage is jnp.int4 so
     # the cache reads halve again vs int8. Opt-in — rounding error is ~16x
     # int8's; greedy-agreement is unit-tested but expect distributional drift.
@@ -345,8 +383,10 @@ def sample_slice_incremental(params, c: VTConfig, slice_shape, zl, sl, key,
             jnp.asarray(bid_np_l[:cache_len]) == bid_j[p], row,
             jnp.float32(-1e9))
 
-    def pixel_step(carry: SliceCarry, p):
-        """One raster position. The K/V caches in `carry` hold at most
+    def pixel_step(carry: SliceCarry, p, zlp):
+        """One raster position of ONE stream (zlp = that stream's zl
+        projection; batch size derived from the carry — streams carry
+        b // streams rows each). The K/V caches in `carry` hold at most
         blk_run rows (segmented growth below); position p reads and writes
         cache row p_loc = p mod blk_run — exact because p only attends
         within its contiguous attention block (see block-local notes).
@@ -366,14 +406,15 @@ def sample_slice_incremental(params, c: VTConfig, slice_shape, zl, sl, key,
         layout depends on seg bookkeeping computed there). That is safe
         only because pixel_step is first traced at the lax.scan call at
         the end of this function."""
+        bs = carry.sl.shape[0]  # stream batch (b // streams)
         cache_len = (carry.kcaches[0].shape[1] if pallas_attn
                      else carry.kcaches.shape[3])
         p_loc = jax.lax.rem(p, jnp.int32(blk_run)) if block_local else p
         # causal conv at p: gather unmasked-tap neighbors (all strictly < p)
-        rows = carry.emb[:, nbr[p]]  # (b, K', de); nbr -1 wraps to last row
+        rows = carry.emb[:, nbr[p]]  # (bs, K', de); nbr -1 wraps to last row
         valid = (nbr[p] >= 0).astype(rows.dtype)[None, :, None]
         x = jnp.einsum("bke,ked->bd", rows * valid, conv_w) + dec["conv_b"]
-        x = x + pos_rows[p] + zlproj[:, p]
+        x = x + pos_rows[p] + zlp[:, p]
 
         # unrolled layer loop: a lax.scan here costs ~3.5x runtime (per-
         # iteration scan overhead dwarfs the tiny per-layer body inside the
@@ -385,7 +426,7 @@ def sample_slice_incremental(params, c: VTConfig, slice_shape, zl, sl, key,
         for l in range(L):
             lp: BlockAttnParams = dec["layers"][l]
             y = _layer_norm(x, lp.ln_scale, lp.ln_bias)
-            qkv = _mm(y, wqkv[l]).reshape(b, 3, na, da)
+            qkv = _mm(y, wqkv[l]).reshape(bs, 3, na, da)
             q, kk, vv = qkv[:, 0], qkv[:, 1], qkv[:, 2]
             if use_int8:
                 # absmax row quantization like quantize_rows_i8, but
@@ -412,9 +453,9 @@ def sample_slice_incremental(params, c: VTConfig, slice_shape, zl, sl, key,
                 # hand the custom call a new_k[l] slice that XLA may have
                 # to materialize as a copy
                 new_k = _tup_set(new_k, l, new_k[l].at[:, p_loc, :].set(
-                    kk.reshape(b, na * da)))
+                    kk.reshape(bs, na * da)))
                 new_v = _tup_set(new_v, l, new_v[l].at[:, p_loc, :].set(
-                    vv.reshape(b, na * da)))
+                    vv.reshape(bs, na * da)))
             else:
                 new_k = new_k.at[l, :, :, p_loc].set(kk)
                 new_v = new_v.at[l, :, :, p_loc].set(vv)
@@ -422,18 +463,28 @@ def sample_slice_incremental(params, c: VTConfig, slice_shape, zl, sl, key,
             vc = new_v[l]
 
             if pallas_attn:
-                # bias row + causal mask, b-independent: (1, na, cl) f32
+                # bias row, b-independent: (1, na, cl) f32
                 row = _bias_row(l, p, p_loc, cache_len)
-                extra = jnp.where(
-                    pos_iota[None, None, :cache_len] > p_loc,
-                    jnp.float32(-1e9), row[None])
-                if use_int8:
+                if live_attn:
+                    # causal masking happens in-kernel from the live length
+                    qi, sq = quantize_rows_i8(q)
+                    out = decode_attention_i8_live_pallas(
+                        p_loc + 1, blockdiag_expand(qi), sq,
+                        kc, new_ks[l], vc, new_vs[l], row[None],
+                        1.0 / np.sqrt(da), out_dtype=cdtype)  # (bs, na*da)
+                elif use_int8:
+                    extra = jnp.where(
+                        pos_iota[None, None, :cache_len] > p_loc,
+                        jnp.float32(-1e9), row[None])
                     qi, sq = quantize_rows_i8(q)
                     out = decode_attention_i8_pallas(
                         blockdiag_expand(qi), sq,
                         kc, new_ks[l], vc, new_vs[l], extra,
-                        1.0 / np.sqrt(da), out_dtype=cdtype)  # (b, na*da)
+                        1.0 / np.sqrt(da), out_dtype=cdtype)  # (bs, na*da)
                 else:
+                    extra = jnp.where(
+                        pos_iota[None, None, :cache_len] > p_loc,
+                        jnp.float32(-1e9), row[None])
                     out = decode_attention_pallas(
                         blockdiag_expand(q), kc, vc, extra,
                         1.0 / np.sqrt(da), out_dtype=cdtype)
@@ -471,7 +522,7 @@ def sample_slice_incremental(params, c: VTConfig, slice_shape, zl, sl, key,
                     out = jnp.einsum("baj,bajk->bak", wi, vc,
                                      preferred_element_type=jnp.int32)
                     out = (out.astype(jnp.float32) * sw
-                           ).astype(cdtype).reshape(b, na * da)
+                           ).astype(cdtype).reshape(bs, na * da)
                 else:
                     # softmax weights round to cdtype BEFORE the V dot —
                     # the deliberate precision convention of this sampler
@@ -483,7 +534,7 @@ def sample_slice_incremental(params, c: VTConfig, slice_shape, zl, sl, key,
                     if use_int8:
                         wgt = wgt * new_vs[l]  # fold V scales into the weights
                     out = jnp.einsum("baj,bajk->bak", wgt,
-                                     vc.astype(cdtype)).reshape(b, na * da)
+                                     vc.astype(cdtype)).reshape(bs, na * da)
             x = _mm(out, proj_q[l] if use_int8_w else lp.proj) + x
             # FFN at p
             yf = _layer_norm(x, lp.ffn_ln_scale, lp.ffn_ln_bias)
@@ -518,6 +569,17 @@ def sample_slice_incremental(params, c: VTConfig, slice_shape, zl, sl, key,
 
     sl_flat = sl.reshape(b, nc, thw)
     emb0 = _embed_sum_codes(dec, c, jnp.moveaxis(sl_flat, 1, -1))  # (b, thw, de)
+    bs = b // streams  # per-stream batch
+    # per-stream views of the slice state; at streams=1 these are the
+    # arrays themselves (the scan below is then structurally identical to
+    # the historical single-stream scan)
+    sl_streams = jnp.split(sl_flat, streams, axis=0)
+    emb_streams = jnp.split(emb0.astype(cdtype), streams, axis=0)
+    zl_streams = jnp.split(zlproj, streams, axis=0)
+    if streams == 1:
+        keys = [key]
+    else:
+        keys = list(jax.random.split(key, streams))
 
     # Segmented cache growth WITHIN each block run: pixels [base, base+s1)
     # only ever attend to the first s1 rows of the run, so early segments
@@ -534,6 +596,10 @@ def sample_slice_incremental(params, c: VTConfig, slice_shape, zl, sl, key,
     bounds = list(range(seg, blk_run + 1, seg)) or [blk_run]
     if bounds[-1] != blk_run:
         bounds.append(blk_run)
+    if live_attn:
+        # full preallocated buffers: one scan per block run, no segment
+        # boundaries (the kernel's live length replaces segmented growth)
+        bounds = [blk_run]
 
     kv_store = {"int8": jnp.int8, "int4": jnp.int4}.get(kv_dtype, cdtype)
     scale_len0 = bounds[0] if use_int8 else 1
@@ -543,24 +609,24 @@ def sample_slice_incremental(params, c: VTConfig, slice_shape, zl, sl, key,
 
     def _cache_zeros(rows):
         if pallas_attn:
-            return tuple(jnp.zeros((b, rows, na * da), kv_store)
+            return tuple(jnp.zeros((bs, rows, na * da), kv_store)
                          for _ in range(L))
-        return jnp.zeros((L, b, na, rows, da), kv_store)
+        return jnp.zeros((L, bs, na, rows, da), kv_store)
 
     def _scale_zeros(rows):
         if pallas_attn:
-            return tuple(jnp.zeros((b, na, rows), cdtype) for _ in range(L))
-        return jnp.zeros((L, b, na, rows), cdtype)
+            return tuple(jnp.zeros((bs, na, rows), cdtype) for _ in range(L))
+        return jnp.zeros((L, bs, na, rows), cdtype)
 
-    carry = SliceCarry(
-        sl=sl_flat,
-        emb=emb0.astype(cdtype),
+    carries = tuple(SliceCarry(
+        sl=sl_streams[s],
+        emb=emb_streams[s],
         kcaches=_cache_zeros(bounds[0]),
         vcaches=_cache_zeros(bounds[0]),
         kscales=_scale_zeros(scale_len0),
         vscales=_scale_zeros(scale_len0),
-        key=key,
-    )
+        key=keys[s],
+    ) for s in range(streams))
 
     def _shrink(cache, rows):
         if pallas_attn:
@@ -587,37 +653,58 @@ def sample_slice_incremental(params, c: VTConfig, slice_shape, zl, sl, key,
     def _rows(cache):
         return cache[0].shape[1] if pallas_attn else cache.shape[3]
 
+    def multi_step(carries, p):
+        """Advance every stream one raster position. The per-stream calls
+        are DISJOINT dataflow chains (own carry, own zl projection) placed
+        alternately in program order — the freedom the latency-hiding
+        scheduler needs to hide one stream's serial chain under another's
+        cache DMA."""
+        news, outs = [], []
+        for s in range(streams):
+            c2, o = pixel_step(carries[s], p, zl_streams[s])
+            news.append(c2)
+            outs.append(o)
+        return tuple(news), (tuple(outs) if teacher_logits else None)
+
     seg_outs = []
     for base in range(0, thw, blk_run):
         if base > 0:
             # new block run: shrink buffers to the first segment length
-            carry = carry._replace(
-                kcaches=_shrink(carry.kcaches, bounds[0]),
-                vcaches=_shrink(carry.vcaches, bounds[0]),
-                kscales=_shrink_scales(carry.kscales, scale_len0),
-                vscales=_shrink_scales(carry.vscales, scale_len0),
-            )
+            carries = tuple(cr._replace(
+                kcaches=_shrink(cr.kcaches, bounds[0]),
+                vcaches=_shrink(cr.vcaches, bounds[0]),
+                kscales=_shrink_scales(cr.kscales, scale_len0),
+                vscales=_shrink_scales(cr.vscales, scale_len0),
+            ) for cr in carries)
         start = 0
         for end in bounds:
-            grow = end - _rows(carry.kcaches)
+            grow = end - _rows(carries[0].kcaches)
             if grow > 0:
-                pad = _cache_zeros(grow)
-                carry = carry._replace(
-                    kcaches=_grow(carry.kcaches, pad),
-                    vcaches=_grow(carry.vcaches, pad),
-                )
-                if use_int8:
-                    spad = _scale_zeros(grow)
-                    carry = carry._replace(
-                        kscales=_grow_scales(carry.kscales, spad),
-                        vscales=_grow_scales(carry.vscales, spad),
+                new_carries = []
+                for cr in carries:
+                    pad = _cache_zeros(grow)
+                    cr = cr._replace(
+                        kcaches=_grow(cr.kcaches, pad),
+                        vcaches=_grow(cr.vcaches, pad),
                     )
-            carry, ys = jax.lax.scan(pixel_step, carry,
-                                     jnp.arange(base + start, base + end))
+                    if use_int8:
+                        spad = _scale_zeros(grow)
+                        cr = cr._replace(
+                            kscales=_grow_scales(cr.kscales, spad),
+                            vscales=_grow_scales(cr.vscales, spad),
+                        )
+                    new_carries.append(cr)
+                carries = tuple(new_carries)
+            carries, ys = jax.lax.scan(multi_step, carries,
+                                       jnp.arange(base + start, base + end))
             seg_outs.append(ys)
             start = end
+    sl_out = jnp.concatenate([cr.sl for cr in carries], axis=0)
     if teacher_logits:
-        logits = jnp.concatenate(seg_outs, axis=0)  # (thw, b, nc, nv)
+        # seg_outs: list over segments of per-stream (seg_len, bs, nc, nv)
+        logits = jnp.concatenate(
+            [jnp.concatenate([ys[s] for ys in seg_outs], axis=0)
+             for s in range(streams)], axis=1)  # (thw, b, nc, nv)
         logits = jnp.moveaxis(logits, 0, 1)  # (b, thw, nc, nv)
-        return carry.sl.reshape(b, nc, t, h, w), carry.key, logits
-    return carry.sl.reshape(b, nc, t, h, w), carry.key
+        return sl_out.reshape(b, nc, t, h, w), carries[0].key, logits
+    return sl_out.reshape(b, nc, t, h, w), carries[0].key

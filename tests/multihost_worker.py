@@ -84,6 +84,36 @@ def main():
     loss = float(metrics["loss_cross_entropy"])
     assert np.isfinite(loss), loss
 
+    # checkpoint save in the 2-process world (VERDICT r4 #3c): EVERY
+    # process enters save_checkpoint — Orbax's save of non-fully-addressable
+    # mesh-sharded arrays is a collective (the PeriodicCheckpointer
+    # coordination story, engine/hooks.py); restore with explicit target
+    # shardings round-trips bit-exactly on both processes
+    ckpt_dir = os.environ.get("LVT_MH_CKPT_DIR")
+    if ckpt_dir:
+        from lvt_tpu.checkpoint import (latest_checkpoint, load_checkpoint,
+                                        save_checkpoint)
+
+        tree = {"params": state.params, "step": state.step}
+        save_checkpoint(ckpt_dir, 1, tree)
+        target = jax.jit(
+            lambda t: jax.tree_util.tree_map(jnp.zeros_like, t),
+            out_shardings=jax.tree_util.tree_map(lambda l: l.sharding, tree),
+        )(tree)
+        restored = load_checkpoint(latest_checkpoint(ckpt_dir), target)
+        ok = jax.jit(
+            lambda a, b: jnp.all(jnp.asarray(
+                [jnp.array_equal(x, y) for x, y in zip(
+                    jax.tree_util.tree_leaves(a),
+                    jax.tree_util.tree_leaves(b))])),
+            out_shardings=NamedSharding(mesh, P()),
+        )(restored["params"], state.params)
+        assert bool(ok), "multihost checkpoint round-trip mismatch"
+        wq = restored["params"]["netG"]["encoder"]["layers"][0].wq
+        assert wq.sharding.spec == P("model"), wq.sharding
+        print(f"multihost proc {jax.process_index()}: ckpt save/restore OK",
+              flush=True)
+
     # object all_gather with RAGGED per-process payloads — the path the
     # evaluators' cross-rank feature/metric gathers use (comm.py pickles +
     # pads; bare process_allgather cannot do ragged objects)

@@ -86,3 +86,51 @@ def test_decode_attention_native_kernel_matches_xla(rng):
     got = np.asarray(decode_attention_pallas(
         qbd, k4, v4, extra, scale, out_dtype=jnp.float32, interpret=True))
     np.testing.assert_allclose(got, ref, atol=1e-5, rtol=1e-5)
+
+
+def test_decode_attention_i8_live_kernel_matches_xla(rng):
+    """The round-5 full-buffer + live-length flash-decode kernel: for every
+    live length (partial tile, tile boundary, one row, full buffer) the
+    kernel must match the masked XLA reference — rows >= live are never
+    read, so garbage in them must not affect the output. The online-softmax
+    + per-tile weight quantization differs from the single-pass reference
+    only by int8 rounding: the kernel quantizes the UNNORMALIZED
+    exp-weights per tile (dividing by the denominator at the end), so
+    argument-identical values can round to +/-1 int8 on ties — each flip
+    moves a term by ~1/127, which the tolerance below covers."""
+    from lvt_tpu.ops.cache_attention import (blockdiag_expand,
+                                             decode_attention_i8_live_pallas,
+                                             decode_attention_i8_live_xla)
+
+    b, na, R, da, rtile = 4, 2, 64, 16, 16
+    d = na * da
+    qi = jnp.asarray(rng.integers(-127, 128, size=(b, na, da)).astype(np.int8))
+    qbd = blockdiag_expand(qi)
+    sq = jnp.asarray(np.abs(rng.standard_normal((b, na, 1))).astype(np.float32) * 0.01 + 1e-4)
+    k4 = jnp.asarray(rng.integers(-127, 128, size=(b, R, d)).astype(np.int8))
+    v4 = jnp.asarray(rng.integers(-127, 128, size=(b, R, d)).astype(np.int8))
+    ks = jnp.asarray(np.abs(rng.standard_normal((b, na, R))).astype(np.float32) * 0.01)
+    vs = jnp.asarray(np.abs(rng.standard_normal((b, na, R))).astype(np.float32) * 0.01)
+    extra = jnp.asarray((rng.standard_normal((1, na, R)) * 0.1).astype(np.float32))
+    scale = 1 / np.sqrt(da)
+
+    for live in (1, 7, rtile, rtile + 5, 3 * rtile, R):
+        ref = np.asarray(decode_attention_i8_live_xla(
+            live, qbd, sq, k4, ks, v4, vs, extra, scale))
+        got = np.asarray(decode_attention_i8_live_pallas(
+            live, qbd, sq, k4, ks, v4, vs, extra, scale, rtile=rtile,
+            out_dtype=jnp.float32, interpret=True))
+        np.testing.assert_allclose(got, ref, atol=1e-2, rtol=5e-2,
+                                   err_msg=f"live={live}")
+
+    # stale rows past live must be dead: poison them and re-check live=20
+    k4p = k4.at[:, 20:].set(127)
+    v4p = v4.at[:, 20:].set(-128)
+    ksp = ks.at[:, :, 20:].set(1e6)
+    vsp = vs.at[:, :, 20:].set(1e6)
+    ref = np.asarray(decode_attention_i8_live_xla(
+        20, qbd, sq, k4, ks, v4, vs, extra, scale))
+    got = np.asarray(decode_attention_i8_live_pallas(
+        20, qbd, sq, k4p, ksp, v4p, vsp, extra, scale, rtile=rtile,
+        out_dtype=jnp.float32, interpret=True))
+    np.testing.assert_allclose(got, ref, atol=1e-2, rtol=5e-2)

@@ -256,6 +256,15 @@ def test_put_batch_int16_transport_is_exact(rng, tmp_path):
     trainer2._put_batch(dict(batch))
     assert trainer2._narrow_i16 == {"class"}
 
+    # out-of-config-bound codes must fail LOUDLY before narrowing (ADVICE
+    # r4: astype(int16) would silently wrap values from e.g. a
+    # larger-codebook VQ-VAE paired with a mismatched VT config)
+    trainer3 = Trainer(cfg, L(), model=model, mesh=build_mesh(data=4))
+    bad = dict(batch)
+    bad["video"] = np.full_like(video, 9)  # >= NV=8
+    with pytest.raises(ValueError, match="mismatched dataset/config"):
+        trainer3._put_batch(bad)
+
 
 def test_lr_schedule_counts_iterations_under_accumulation(tmp_path):
     """optax's schedule count increments per optimizer.update (= once every

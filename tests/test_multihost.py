@@ -21,10 +21,13 @@ def _free_port() -> int:
 
 
 @pytest.mark.slow  # spawns 2 fresh interpreters, each recompiles the step
-def test_two_process_distributed_train_step():
+def test_two_process_distributed_train_step(tmp_path):
     port = _free_port()
     env = dict(os.environ)
     env.pop("XLA_FLAGS", None)  # the worker sets its own device count
+    # shared checkpoint dir: exercises the every-rank-collective Orbax save
+    # + sharded restore inside the 2-process world (VERDICT r4 #3c)
+    env["LVT_MH_CKPT_DIR"] = str(tmp_path)
 
     procs = [
         subprocess.Popen(
@@ -41,6 +44,7 @@ def test_two_process_distributed_train_step():
         assert p.returncode == 0, f"proc {pid} failed:\n{out[-3000:]}"
         assert f"multihost proc {pid}/2" in out, out[-2000:]
         assert "OK" in out
+        assert "ckpt save/restore OK" in out, out[-2000:]
 
     # both processes computed the same global loss
     l0 = outs[0].split("loss=")[1].split(" ")[0]

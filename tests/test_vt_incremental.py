@@ -117,6 +117,63 @@ def test_incremental_matches_teacher_forced_activations(rng):
         assert out_p[0, 0, p] == want0
 
 
+@pytest.mark.parametrize("case_idx,kv,seg", [
+    (0, "native", 0), (0, "int8", 4), (1, "int8", 0), (3, "native", 0),
+])
+def test_streams_do_not_change_greedy_output(rng, case_idx, kv, seg):
+    """Interleaved multi-stream rollout (VERDICT r4 #1a): every batch row's
+    arithmetic is row-independent, so greedy sampling must be bit-invariant
+    to the stream count — the exactness guard for the latency-hiding
+    restructure. Covers block-local (DSFVT/DSSVT-like) and factored-bias
+    geometries, native and int8 caches, seg boundaries."""
+    stride, kernel, blocks, THW = CASES[case_idx]
+    cfg = _cfg(stride, kernel, blocks)
+    m = VideoTransformer(cfg, T=THW[0], H=THW[1], W=THW[2])
+    params, _ = m.init(jax.random.key(0))
+    video = jnp.asarray(
+        rng.integers(0, m.c.nv, size=(4, m.c.nc, *THW)), jnp.int32)
+    key = jax.random.key(5)
+    base = np.asarray(m.sample_video(params, video, key, n_prime=1,
+                                     greedy=True, kv_cache_dtype=kv,
+                                     kv_seg_size=seg))
+    for streams in (2, 4):
+        got = np.asarray(m.sample_video(params, video, key, n_prime=1,
+                                        greedy=True, kv_cache_dtype=kv,
+                                        kv_seg_size=seg, streams=streams))
+        np.testing.assert_array_equal(base, got, err_msg=f"streams={streams}")
+    with pytest.raises(ValueError, match="streams"):
+        m.sample_video(params, video, key, n_prime=1, greedy=True,
+                       streams=3)  # does not divide batch 4
+
+
+def test_streams_teacher_logits_match_single_stream(rng):
+    """teacher_logits through the multi-stream scan must reassemble the
+    per-stream outputs into the exact single-stream (b, thw, nc, nv)
+    layout."""
+    stride, kernel, blocks, THW = CASES[0]
+    cfg = _cfg(stride, kernel, blocks)
+    m = VideoTransformer(cfg, T=THW[0], H=THW[1], W=THW[2])
+    params, _ = m.init(jax.random.key(2))
+    video = jnp.asarray(
+        rng.integers(0, m.c.nv, size=(4, m.c.nc, *THW)), jnp.int32)
+    c = m.c
+    plan = m._plan_for(*THW)
+    t, h, w = plan.slice_shape
+    vflat = video.reshape(4, c.nc, -1)
+    sl = ssub.gather_slice(vflat, jnp.asarray(plan.slice_src[1]))
+    ctx = m._gather_ctx(plan, vflat, 1)
+    sidx = jnp.full((4,), 1, jnp.int32)
+    zl = vt_encode(params["netG"], c, ctx, sidx, use_pallas=False)
+    primed = jnp.ones((t * h * w,), bool)
+    _, _, ref = vti.sample_slice_incremental(
+        params["netG"], c, (t, h, w), zl, sl, jax.random.key(0), primed,
+        1.0, teacher_logits=True)
+    _, _, got = vti.sample_slice_incremental(
+        params["netG"], c, (t, h, w), zl, sl, jax.random.key(0), primed,
+        1.0, teacher_logits=True, streams=2)
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))
+
+
 def test_conv_tap_table_strictly_past():
     nbr, tap_ids = vti.conv_tap_table((2, 4, 4))
     thw = 32
@@ -175,6 +232,7 @@ def test_quantize_cols_fold_is_exact(rng):
     ("int8", "native", "native", "xla"),
     ("int4", "native", "native", "xla"),
     ("int8", "native", "native", "pallas"),
+    ("int8", "native", "native", "pallas-live"),
     pytest.param("native", "int8", "native", "xla", marks=pytest.mark.slow),
     pytest.param("int8", "int8", "native", "xla", marks=pytest.mark.slow),
     pytest.param("int8", "native", "int8", "xla", marks=pytest.mark.slow),
@@ -227,12 +285,19 @@ def test_int8_mm_requires_int8_kv(rng):
                        greedy=True, kv_cache_dtype="native", mm_dtype="int8")
 
 
-@pytest.mark.parametrize("case_idx,seg", [(1, 0), (1, 4), (3, 0), (4, 0)])
-def test_pallas_attn_tracks_native_on_block_geometries(rng, case_idx, seg):
-    """attn_impl='pallas' must hold its >=90% greedy agreement on the
-    block-local cache geometry (DSSVT-like, case 1) — including segmented
-    cache growth — and on the factored-bias fallback geometry (case 3),
-    whose bias rows are rebuilt from the per-block tables per pixel."""
+@pytest.mark.parametrize("case_idx,seg,attn", [
+    (1, 0, "pallas"), (1, 4, "pallas"), (3, 0, "pallas"), (4, 0, "pallas"),
+    (1, 0, "pallas-live"), (3, 0, "pallas-live"), (4, 0, "pallas-live"),
+])
+def test_pallas_attn_tracks_native_on_block_geometries(rng, case_idx, seg,
+                                                       attn):
+    """attn_impl='pallas'/'pallas-live' must hold >=90% greedy agreement on
+    the block-local cache geometry (DSSVT-like, case 1) — including
+    segmented cache growth — and on the factored-bias fallback geometry
+    (case 3), whose bias rows are rebuilt from the per-block tables per
+    pixel. pallas-live additionally exercises the live-length masking of
+    stale rows across block-run boundaries (its buffers are never zeroed
+    between runs)."""
     stride, kernel, blocks, THW = CASES[case_idx]
     cfg = _cfg(stride, kernel, blocks)
     m = VideoTransformer(cfg, T=THW[0], H=THW[1], W=THW[2])
@@ -244,10 +309,24 @@ def test_pallas_attn_tracks_native_on_block_geometries(rng, case_idx, seg):
                                      greedy=True))
     got = np.asarray(m.sample_video(params, video, key, n_prime=1,
                                     greedy=True, kv_cache_dtype="int8",
-                                    kv_seg_size=seg, attn_impl="pallas"))
+                                    kv_seg_size=seg, attn_impl=attn))
     agree = float((got == base).mean())
     assert agree >= 0.90, (
-        f"greedy agreement {agree:.3f} on case {case_idx} seg={seg}")
+        f"greedy agreement {agree:.3f} on case {case_idx} seg={seg} "
+        f"attn={attn}")
+
+
+def test_pallas_live_requires_int8(rng):
+    stride, kernel, blocks, THW = CASES[0]
+    cfg = _cfg(stride, kernel, blocks)
+    m = VideoTransformer(cfg, T=THW[0], H=THW[1], W=THW[2])
+    params, _ = m.init(jax.random.key(0))
+    video = jnp.asarray(
+        rng.integers(0, m.c.nv, size=(2, m.c.nc, *THW)), jnp.int32)
+    with pytest.raises(ValueError, match="pallas-live"):
+        m.sample_video(params, video, jax.random.key(0), n_prime=1,
+                       greedy=True, kv_cache_dtype="native",
+                       attn_impl="pallas-live")
 
 
 @pytest.mark.parametrize("case_idx", [

@@ -211,6 +211,14 @@ def measure_e2e(cfg, which, steps, workers):
         np.asarray(jax.device_get(placed[key_name][0, 0]))  # fence small
         h2d = time.perf_counter() - t0
     batch_mb = raw[key_name].nbytes / 2**20
+    # _put_batch ships config-bounded int32 code/class fields as int16 on
+    # the wire (trainer._narrow_i16); report the actual wire bytes so the
+    # MB/s row is a link rate, not logical throughput (ADVICE r4)
+    wire_mb = sum(
+        (v.nbytes // 2 if (k in getattr(trainer, "_narrow_i16", set())
+                           and getattr(v, "dtype", None) == np.int32)
+         else getattr(v, "nbytes", 0))
+        for k, v in raw.items() if hasattr(v, "nbytes")) / 2**20
 
     per = _items_per_batch(which, cfg)
     return {
@@ -225,8 +233,10 @@ def measure_e2e(cfg, which, steps, workers):
         "data_time_mean_ms": round(1e3 * float(np.mean(data_times)), 2),
         "data_time_max_ms": round(1e3 * float(np.max(data_times)), 2),
         "h2d_batch_mb": round(batch_mb, 2),
+        "h2d_wire_mb": round(wire_mb, 2),
         "h2d_sec": round(h2d, 4),
-        "h2d_mbps": round(batch_mb / h2d, 1),
+        "h2d_logical_mbps": round(batch_mb / h2d, 1),
+        "h2d_wire_mbps": round(wire_mb / h2d, 1),
     }
 
 

@@ -31,11 +31,14 @@ def main():
                         "(per-column scales folded exactly; 'int8-pallas' "
                         "= native int8 MXU GEMM kernel, quantizes "
                         "activation rows too)")
-    p.add_argument("--attn", default="xla", choices=["xla", "pallas"],
+    p.add_argument("--attn", default="xla",
+                   choices=["xla", "pallas", "pallas-live"],
                    help="per-pixel attention impl: 'pallas' = fused-lane "
                         "decode kernel (with --kv int8: native int8 MXU "
                         "dots, supersedes --mm; with --kv native: "
-                        "unquantized bf16 dots)")
+                        "unquantized bf16 dots); 'pallas-live' = full "
+                        "preallocated buffer + live-length flash-decode "
+                        "kernel (requires --kv int8)")
     p.add_argument("--mm", default="native", choices=["native", "int8"],
                    help="run attention contractions as int8 x int8 MXU dots "
                         "(requires --kv int8; skips the cache dequant)")
@@ -44,6 +47,11 @@ def main():
                    "block run length)")
     p.add_argument("--dtype", default="bfloat16",
                    choices=["bfloat16", "float32"])
+    p.add_argument("--streams", type=int, default=1,
+                   help="independent half-batch rollout streams advanced "
+                        "alternately in one scan body (hides per-stream "
+                        "serial latency under the other streams' cache "
+                        "DMA; greedy output is stream-count-invariant)")
     p.add_argument("--class-num", type=int, default=0,
                    help="class-conditional sampling with this many classes "
                         "(KDSFVT runs 600; adds the class-embedding concat "
@@ -83,7 +91,7 @@ def main():
         params, v, k, n_prime=n_prime, class_idx=class_idx,
         kv_cache_dtype=args.kv,
         kv_seg_size=args.seg, weight_dtype=args.weights, mm_dtype=args.mm,
-        attn_impl=args.attn))
+        attn_impl=args.attn, streams=args.streams))
     key = jax.random.key(7)
     fn(video, key).block_until_ready()  # compile
 
@@ -104,7 +112,8 @@ def main():
     print(json.dumps({
         "config": os.path.basename(args.config),
         "batch": B, "kv": args.kv, "seg": args.seg, "mm": args.mm,
-        "attn": args.attn, "class_num": args.class_num,
+        "attn": args.attn, "streams": args.streams,
+        "class_num": args.class_num,
         "n_prime": n_prime,
         "seconds_median": round(med, 3),
         "seconds_min": round(min(times), 3),
