@@ -173,6 +173,28 @@ def _sample_roofline(args):
     # per-slice costs amortized over the thw steps of the slice: zl (b, thw,
     # d) written by the encoder then zlproj (b, thw, d) written + read
     terms["zl_zlproj_slice"] = (3 * b * thw * d * act) / thw
+    # per-slice context encode (geometry-specific — VERDICT r4 #2: DSTSVT's
+    # (5,3,3) kernel has nc*K = 180 table slots vs DSFVT's 12, so these
+    # terms are negligible for DSFVT/DSSVT/KDSFVT but material for DSTSVT):
+    #   * the strided-window index stack gidx (b, nc*K, thw) int32, written
+    #     once and read once by the gather (ops/conv._ctx_gather_indices),
+    #     plus the K window slices re-reading the (b, nc, Tp, Hp, Wp) ctx
+    #   * the gathered embedding rows themselves: every output position
+    #     sums nc*K rows of de (mandatory for ANY gather formulation)
+    kt, kh, kw = c.kernel
+    Kc = kt * kh * kw
+    ncK = c.nc * Kc
+    st_, sh_, sw_ = c.stride
+    ctx_vol = ((t - 1) * st_ + kt) * ((h - 1) * sh_ + kh) * ((w - 1) * sw_ + kw)
+    terms["ctx_gidx_slice"] = (2 * b * ncK * thw * 4
+                               + b * c.nc * ctx_vol * 4) / thw
+    terms["ctx_table_rows_slice"] = (b * thw * ncK * de * act) / thw
+    # NOT in the SOL sum: the chain formulation's accumulator round-trips
+    # (b, thw, de) per slot IF XLA fails to fuse the 180-add chain — an
+    # upper bound on formulation overhead, printed for the DSTSVT gap
+    # analysis (chain is auto-selected when gather_sum's materialized
+    # intermediate would exceed 2 GB, ops/conv._ctx_encode_impl)
+    chain_acc_bound = 2 * ncK * b * thw * de * act / thw
 
     bytes_per_step = float(sum(terms.values()))
 
@@ -292,6 +314,13 @@ def _sample_roofline(args):
             int(np.asarray(out[0, 0, -1, 0, 0]))  # host read = fence
             times.append(time.perf_counter() - t0)
         measured = float(np.median(times)) / steps
+        if args.trace:
+            # one extra (untimed) iteration under the profiler — feed the
+            # capture to tools/trace_summary.py for per-op itemization
+            jax.profiler.start_trace(args.trace)
+            out = fn(video, jax.random.fold_in(key, 10_000))
+            int(np.asarray(out[0, 0, -1, 0, 0]))
+            jax.profiler.stop_trace()
 
     out = {
         "mode": "sample_roofline",
@@ -301,6 +330,7 @@ def _sample_roofline(args):
         "pixel_steps": steps, "sampled_slices": sampled_slices,
         "bytes_per_step_mb": {k: round(v / 1e6, 2) for k, v in terms.items()},
         "total_mb_per_step": round(bytes_per_step / 1e6, 1),
+        "ctx_chain_acc_unfused_bound_mb": round(chain_acc_bound / 1e6, 2),
         "gflops_per_step": round(flops_per_step / 1e9, 2),
         "sol_step_ms": round(t_sol * 1e3, 3),
         "sol_bytes_ms": round(t_bytes * 1e3, 3),

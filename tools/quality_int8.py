@@ -86,6 +86,14 @@ def main():
                              "(default 64, 2 w/ --cpu)")
     parser.add_argument("--cpu", action="store_true",
                         help="force CPU backend + smoke scale")
+    parser.add_argument("--fvd-stub", action=argparse.BooleanOptionalAction,
+                        default=True,
+                        help="FVD_stub same-seed A/B (VERDICT r4 #5): score "
+                             "native-KV and int8-KV temp-1.0 sample sets "
+                             "(identical keys) against a HELD-OUT exact-"
+                             "sampler set with the deterministic stub "
+                             "feature net — a sample-statistics check "
+                             "independent of the bits/dim estimator")
     args = parser.parse_args()
 
     import jax
@@ -259,6 +267,49 @@ def main():
     print(f"[temp1] rollouts + scoring in {time.perf_counter() - t0:.0f}s",
           file=sys.stderr)
 
+    # ---- 4. FVD_stub same-seed A/B (VERDICT r4 #5) --------------------------
+    # A held-out exact-sampler set (different keys, native KV) anchors the
+    # reference statistics; the native and int8 sets share keys with each
+    # other, so their FVD_stub gap to the anchor isolates the quantized
+    # cache's distributional effect as sample statistics (Frechet distance
+    # over stub-conv features of code-space videos) — independent of the
+    # bits/dim likelihood estimator above. Labeled _stub: the feature net
+    # is the deterministic conv stand-in (evaluation/fvd.py), NOT I3D; not
+    # comparable to published FVD numbers.
+    fvd = {}
+    if args.fvd_stub:
+        from lvt_tpu.evaluation.fvd import fvd_from_features, make_stub_features
+
+        t0 = time.perf_counter()
+        heldout = rollout(sample_videos, jax.random.key(1234), "native",
+                          False)
+        feat_fn = make_stub_features()
+
+        def codes_feats(codes):
+            # (b, nc, T, H, W) int codes -> (b, T, H, W, 3) pseudo-RGB in
+            # [0, 255] (first 3 channels; the SAME deterministic transform
+            # for every set, so set differences are sample statistics)
+            x = jnp.moveaxis(codes, 1, -1).astype(jnp.float32)
+            x = x[..., :3] * (255.0 / max(c.nv - 1, 1))
+            feats = []
+            for i in range(0, x.shape[0], 8):
+                feats.append(np.asarray(feat_fn(x[i:i + 8])))
+            return np.concatenate(feats)
+
+        f_held = codes_feats(heldout)
+        f_nat = codes_feats(tn)
+        f_q = codes_feats(tq)
+        fvd = {
+            "fvd_stub_native_vs_heldout": round(
+                fvd_from_features(f_held, f_nat), 5),
+            "fvd_stub_quant_vs_heldout": round(
+                fvd_from_features(f_held, f_q), 5),
+            "fvd_stub_quant_vs_native_samekeys": round(
+                fvd_from_features(f_nat, f_q), 5),
+        }
+        print(f"[fvd-stub] held-out rollout + features in "
+              f"{time.perf_counter() - t0:.0f}s", file=sys.stderr)
+
     out = {
         "mode": "quality_int8",
         "config": "DSFVT.yaml", "kv": kv, "seg": seg,
@@ -283,6 +334,7 @@ def main():
         "sampled_bits_per_dim_quant_kv": round(bpd_sampled_quant, 5),
         "sampled_bits_per_dim_delta": round(
             bpd_sampled_quant - bpd_sampled_native, 5),
+        **fvd,
     }
     print(json.dumps(out))
 
