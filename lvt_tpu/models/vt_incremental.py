@@ -439,7 +439,14 @@ def sample_slice_incremental(params, c: VTConfig, slice_shape, zl, sl, key,
                               -qmax, qmax).astype(kv_store)
                 vv = jnp.clip(jnp.round(vv / (sv[..., None] + 1e-8)),
                               -qmax, qmax).astype(kv_store)
-                if pallas_attn:
+                if live_attn:
+                    # row-major scale caches (bs, R, na): the live kernel's
+                    # Mosaic-legal layout (row axis second-to-last)
+                    new_ks = _tup_set(new_ks, l,
+                                      new_ks[l].at[:, p_loc].set(sk))
+                    new_vs = _tup_set(new_vs, l,
+                                      new_vs[l].at[:, p_loc].set(sv))
+                elif pallas_attn:
                     new_ks = _tup_set(new_ks, l,
                                       new_ks[l].at[:, :, p_loc].set(sk))
                     new_vs = _tup_set(new_vs, l,
@@ -466,11 +473,13 @@ def sample_slice_incremental(params, c: VTConfig, slice_shape, zl, sl, key,
                 # bias row, b-independent: (1, na, cl) f32
                 row = _bias_row(l, p, p_loc, cache_len)
                 if live_attn:
-                    # causal masking happens in-kernel from the live length
+                    # causal masking happens in-kernel from the live length;
+                    # bias/q-scale rows go in the kernel's row-major layouts
                     qi, sq = quantize_rows_i8(q)
                     out = decode_attention_i8_live_pallas(
-                        p_loc + 1, blockdiag_expand(qi), sq,
-                        kc, new_ks[l], vc, new_vs[l], row[None],
+                        p_loc + 1, blockdiag_expand(qi),
+                        jnp.swapaxes(sq, 1, 2),
+                        kc, new_ks[l], vc, new_vs[l], row.T[None],
                         1.0 / np.sqrt(da), out_dtype=cdtype)  # (bs, na*da)
                 elif use_int8:
                     extra = jnp.where(
@@ -614,6 +623,8 @@ def sample_slice_incremental(params, c: VTConfig, slice_shape, zl, sl, key,
         return jnp.zeros((L, bs, na, rows, da), kv_store)
 
     def _scale_zeros(rows):
+        if live_attn:  # row-major (see the live kernel's layout note)
+            return tuple(jnp.zeros((bs, rows, na), cdtype) for _ in range(L))
         if pallas_attn:
             return tuple(jnp.zeros((bs, na, rows), cdtype) for _ in range(L))
         return jnp.zeros((L, bs, na, rows), cdtype)

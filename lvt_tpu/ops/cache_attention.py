@@ -257,29 +257,47 @@ def decode_attention_i8_pallas(qi_bd, sq, k4, ks, v4, vs, extra, scale, *,
 # the online two-term recurrence (exact in exact arithmetic).
 
 
-def decode_attention_i8_live_xla(live, qi_bd, sq, k4, ks, v4, vs, extra,
+def decode_attention_i8_live_xla(live, qi_bd, sqr, k4, ksr, v4, vsr, extrar,
                                  scale):
-    """XLA reference: full buffers masked at `live` (CPU tests)."""
+    """XLA reference: full buffers masked at `live` (CPU tests).
+
+    Takes the live kernel's ROW-MAJOR layouts (scales/bias (b|1, R, na),
+    q scales (b, 1, na) — see decode_attention_i8_live_pallas) and
+    transposes back to the (b, na, R) orientation of the single-pass
+    reference."""
     cl = k4.shape[1]
+    sq = jnp.swapaxes(sqr, 1, 2)
+    ks = jnp.swapaxes(ksr, 1, 2)
+    vs = jnp.swapaxes(vsr, 1, 2)
+    extra = jnp.swapaxes(extrar, 1, 2)
     col = jnp.arange(cl)
     ex = jnp.where(col[None, None, :] >= live, jnp.float32(-1e9), extra)
     return decode_attention_i8_xla(qi_bd, sq, k4, ks, v4, vs, ex, scale)
 
 
-def decode_attention_i8_live_pallas(live, qi_bd, sq, k4, ks, v4, vs, extra,
-                                    scale, *, out_dtype=jnp.bfloat16,
+def decode_attention_i8_live_pallas(live, qi_bd, sqr, k4, ksr, v4, vsr,
+                                    extrar, scale, *,
+                                    out_dtype=jnp.bfloat16,
                                     btile: Optional[int] = None,
                                     rtile: int = 64,
                                     interpret: Optional[bool] = None):
     """One pixel's attention over a FULL preallocated cache buffer.
 
-    live  ()      int32   rows [0, live) are valid; the rest are never read
-    qi_bd (b, na, d) int8 block-diagonal quantized q
-    sq    (b, na, 1) f32  q row scales
-    k4/v4 (b, R, d) int8  full fused-lane K/V buffers (R = block run)
-    ks/vs (b, na, R)      per-row cache scales
-    extra (1, na, R) f32  bias row (NO causal mask — applied from `live`)
+    live   ()      int32   rows [0, live) are valid; the rest are never read
+    qi_bd  (b, na, d) int8 block-diagonal quantized q
+    sqr    (b, 1, na) f32  q row scales
+    k4/v4  (b, R, d) int8  full fused-lane K/V buffers (R = block run)
+    ksr/vsr (b, R, na)     per-row cache scales, ROW-major
+    extrar (1, R, na) f32  bias rows (NO causal mask — applied from `live`)
     Returns (b, d) in out_dtype.
+
+    Layout note (Mosaic tiling): every per-row operand keeps the row axis
+    second-to-last and a small trailing axis that EQUALS the full array
+    dim — (rtile, na) and (rtile, d) blocks are legal where the transposed
+    (na, rtile) block is not (the lane dim must be 128-divisible or whole).
+    The kernel therefore works in row-major orientation end to end:
+    logits (rtile, na), accumulator (d, na), output (d, 1) — no in-kernel
+    transposes, scales/bias multiply directly.
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -305,16 +323,12 @@ def decode_attention_i8_live_pallas(live, qi_bd, sq, k4, ks, v4, vs, extra,
         return (i, 0, 0)
 
     def row_map(i, j, lv):
+        # dead tiles alias to the last live tile: consecutive identical
+        # block indices -> Pallas re-uses the resident block, no DMA
         return (i, jnp.minimum(j, _last_live(lv)), 0)
 
-    def scale_map(i, j, lv):
-        return (i, 0, jnp.minimum(j, _last_live(lv)))
-
     def extra_map(i, j, lv):
-        return (0, 0, jnp.minimum(j, _last_live(lv)))
-
-    def out_map(i, j, lv):
-        return (i, 0)
+        return (0, jnp.minimum(j, _last_live(lv)), 0)
 
     def kernel(lv_ref, q_ref, sq_ref, k_ref, ks_ref, v_ref, vs_ref, e_ref,
                o_ref, m_ref, l_ref, acc_ref):
@@ -331,39 +345,39 @@ def decode_attention_i8_live_pallas(live, qi_bd, sq, k4, ks, v4, vs, extra,
         @pl.when(j < live_tiles)
         def _live():
             col = j * rtile + jax.lax.broadcasted_iota(
-                jnp.int32, (na, rtile), 1)
-            lane = jax.lax.broadcasted_iota(jnp.int32, (na, d), 1)
-            hrow = jax.lax.broadcasted_iota(jnp.int32, (na, d), 0)
-            hmask = (lane // da == hrow).astype(jnp.float32)
+                jnp.int32, (rtile, na), 0)
+            dd = jax.lax.broadcasted_iota(jnp.int32, (d, na), 0)
+            aa = jax.lax.broadcasted_iota(jnp.int32, (d, na), 1)
+            hmask = (dd // da == aa).astype(jnp.float32)  # (d, na)
             for i in range(btile):
                 logits_i = jax.lax.dot_general(
-                    q_ref[i], k_ref[i],
+                    k_ref[i], q_ref[i],
                     dimension_numbers=(((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.int32)  # (na, rtile)
+                    preferred_element_type=jnp.int32)  # (rtile, na)
                 logits = logits_i.astype(jnp.float32) * (
                     sq_ref[i].astype(jnp.float32) * scale)
                 logits = logits * ks_ref[i].astype(jnp.float32) + e_ref[0]
                 logits = jnp.where(col >= lv, jnp.float32(-1e30), logits)
-                m_old = m_ref[i]                      # (na, 1)
+                m_old = m_ref[i]                      # (1, na)
                 m_new = jnp.maximum(m_old,
-                                    jnp.max(logits, axis=1, keepdims=True))
+                                    jnp.max(logits, axis=0, keepdims=True))
                 m_ref[i] = m_new
-                alpha = jnp.exp(m_old - m_new)
-                p = jnp.exp(logits - m_new)           # (na, rtile)
-                l_ref[i] = l_ref[i] * alpha + jnp.sum(p, axis=1,
+                alpha = jnp.exp(m_old - m_new)        # (1, na)
+                p = jnp.exp(logits - m_new)           # (rtile, na)
+                l_ref[i] = l_ref[i] * alpha + jnp.sum(p, axis=0,
                                                       keepdims=True)
                 pw = p * vs_ref[i].astype(jnp.float32)
-                sw = jnp.max(jnp.abs(pw), axis=1, keepdims=True) / 127.0
+                sw = jnp.max(jnp.abs(pw), axis=0, keepdims=True) / 127.0
                 wi = jnp.clip(jnp.round(pw / (sw + 1e-8)), -127.0, 127.0
                               ).astype(jnp.int8)
                 part = jax.lax.dot_general(
-                    wi, v_ref[i],
-                    dimension_numbers=(((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.int32)  # (na, d)
+                    v_ref[i], wi,
+                    dimension_numbers=(((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32)  # (d, na)
                 acc_ref[i] = acc_ref[i] * alpha + part.astype(jnp.float32) * sw
                 # final live tile's write wins; (na -> 1) head fold
-                out = acc_ref[i] / (l_ref[i] + 1e-30)
-                o_ref[i] = jnp.sum(out * hmask, axis=0,
+                out = acc_ref[i] / (l_ref[i] + 1e-30)  # (d, na)
+                o_ref[i] = jnp.sum(out * hmask, axis=1,
                                    keepdims=True).astype(o_ref.dtype)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -371,34 +385,34 @@ def decode_attention_i8_live_pallas(live, qi_bd, sq, k4, ks, v4, vs, extra,
         grid=(b // btile, n_rt),
         in_specs=[
             pl.BlockSpec((btile, na, d), q_map, memory_space=pltpu.VMEM),
-            pl.BlockSpec((btile, na, 1), q_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((btile, 1, na), q_map, memory_space=pltpu.VMEM),
             pl.BlockSpec((btile, rtile, d), row_map,
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((btile, na, rtile), scale_map,
+            pl.BlockSpec((btile, rtile, na), row_map,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((btile, rtile, d), row_map,
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((btile, na, rtile), scale_map,
+            pl.BlockSpec((btile, rtile, na), row_map,
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, na, rtile), extra_map,
+            pl.BlockSpec((1, rtile, na), extra_map,
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((btile, 1, d),
+        out_specs=pl.BlockSpec((btile, d, 1),
                                lambda i, j, lv: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((btile, na, 1), jnp.float32),   # running max
-            pltpu.VMEM((btile, na, 1), jnp.float32),   # running denom
-            pltpu.VMEM((btile, na, d), jnp.float32),   # running numerator
+            pltpu.VMEM((btile, 1, na), jnp.float32),   # running max
+            pltpu.VMEM((btile, 1, na), jnp.float32),   # running denom
+            pltpu.VMEM((btile, d, na), jnp.float32),   # running numerator
         ],
     )
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((b, 1, d), out_dtype),
+        out_shape=jax.ShapeDtypeStruct((b, d, 1), out_dtype),
         compiler_params=_live_compiler_params(pltpu),
         interpret=interpret,
-    )(live_arr, qi_bd, sq, k4, ks, v4, vs, extra).reshape(b, d)
+    )(live_arr, qi_bd, sqr, k4, ksr, v4, vsr, extrar).reshape(b, d)
 
 
 def _live_compiler_params(pltpu):

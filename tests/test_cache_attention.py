@@ -95,9 +95,15 @@ def test_decode_attention_i8_live_kernel_matches_xla(rng):
     read, so garbage in them must not affect the output. The online-softmax
     + per-tile weight quantization differs from the single-pass reference
     only by int8 rounding: the kernel quantizes the UNNORMALIZED
-    exp-weights per tile (dividing by the denominator at the end), so
-    argument-identical values can round to +/-1 int8 on ties — each flip
-    moves a term by ~1/127, which the tolerance below covers."""
+    exp-weights per tile (dividing by the denominator at the end) while
+    the reference quantizes once per full row, so both are independently
+    ~1/127-rounded views of the same float attention and their DIFFERENCE
+    can reach ~2x a single scheme's rounding (verified against an exact
+    numpy emulation of the kernel's algorithm: kernel == emulation
+    bit-for-bit in interpret mode; the tolerance below covers the
+    scheme-vs-scheme delta). Exactness guards live elsewhere: the
+    poisoned-stale-rows check here and the model-level greedy-agreement
+    test (test_vt_incremental.py)."""
     from lvt_tpu.ops.cache_attention import (blockdiag_expand,
                                              decode_attention_i8_live_pallas,
                                              decode_attention_i8_live_xla)
@@ -106,12 +112,14 @@ def test_decode_attention_i8_live_kernel_matches_xla(rng):
     d = na * da
     qi = jnp.asarray(rng.integers(-127, 128, size=(b, na, da)).astype(np.int8))
     qbd = blockdiag_expand(qi)
-    sq = jnp.asarray(np.abs(rng.standard_normal((b, na, 1))).astype(np.float32) * 0.01 + 1e-4)
+    # row-major layouts (scales (b, R, na), bias (1, R, na), q scales
+    # (b, 1, na)) — the kernel's Mosaic-legal orientation
+    sq = jnp.asarray(np.abs(rng.standard_normal((b, 1, na))).astype(np.float32) * 0.01 + 1e-4)
     k4 = jnp.asarray(rng.integers(-127, 128, size=(b, R, d)).astype(np.int8))
     v4 = jnp.asarray(rng.integers(-127, 128, size=(b, R, d)).astype(np.int8))
-    ks = jnp.asarray(np.abs(rng.standard_normal((b, na, R))).astype(np.float32) * 0.01)
-    vs = jnp.asarray(np.abs(rng.standard_normal((b, na, R))).astype(np.float32) * 0.01)
-    extra = jnp.asarray((rng.standard_normal((1, na, R)) * 0.1).astype(np.float32))
+    ks = jnp.asarray(np.abs(rng.standard_normal((b, R, na))).astype(np.float32) * 0.01)
+    vs = jnp.asarray(np.abs(rng.standard_normal((b, R, na))).astype(np.float32) * 0.01)
+    extra = jnp.asarray((rng.standard_normal((1, R, na)) * 0.1).astype(np.float32))
     scale = 1 / np.sqrt(da)
 
     for live in (1, 7, rtile, rtile + 5, 3 * rtile, R):
@@ -120,14 +128,14 @@ def test_decode_attention_i8_live_kernel_matches_xla(rng):
         got = np.asarray(decode_attention_i8_live_pallas(
             live, qbd, sq, k4, ks, v4, vs, extra, scale, rtile=rtile,
             out_dtype=jnp.float32, interpret=True))
-        np.testing.assert_allclose(got, ref, atol=1e-2, rtol=5e-2,
+        np.testing.assert_allclose(got, ref, atol=3e-2, rtol=1e-1,
                                    err_msg=f"live={live}")
 
     # stale rows past live must be dead: poison them and re-check live=20
     k4p = k4.at[:, 20:].set(127)
     v4p = v4.at[:, 20:].set(-128)
-    ksp = ks.at[:, :, 20:].set(1e6)
-    vsp = vs.at[:, :, 20:].set(1e6)
+    ksp = ks.at[:, 20:].set(1e6)
+    vsp = vs.at[:, 20:].set(1e6)
     ref = np.asarray(decode_attention_i8_live_xla(
         20, qbd, sq, k4, ks, v4, vs, extra, scale))
     got = np.asarray(decode_attention_i8_live_pallas(
