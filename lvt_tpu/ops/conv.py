@@ -170,6 +170,29 @@ def _ctx_encode_impl(ctx, table, stride):
         # switch to it whenever the intermediate would crowd HBM (>2 GB).
         inter = b * nc * K * t * h * w * de * flat.dtype.itemsize
         impl = "chain" if inter > 2 ** 31 else "gather_sum"
+    if impl == "chunk":
+        # chunked gather_sum (round 5, VERDICT r4 #2) — MEASURED NEGATIVE,
+        # kept as a knob: gather CH slots at a time and reduce them in one
+        # fusion, so the accumulator round-trips drop nc*K -> ceil(nc*K/CH)
+        # while the materialized intermediate stays under the 2 GB bound.
+        # On-chip at DSTSVT b1024 sampling: 6.684 ms/step vs chain's 5.168
+        # (+29%) — XLA does NOT fuse the multi-slot gather into the chunk
+        # reduce, so each chunk writes+reads its (b, thw, CH, de)
+        # intermediate (~380 MB/step extra at CH=7, matching the +1.52
+        # ms/step at peak BW exactly), whereas chain's one-row-per-slot
+        # take+add DOES fuse and only round-trips the (b, thw, de)
+        # accumulator (~0.23 ms/step, the r5 trace's 2803 pad ops).
+        thw = t * h * w
+        CH = int(os.environ.get("LVT_CTX_CHUNK", "0")) or max(
+            1, min(nc * K,
+                   int(2 ** 31 // (b * thw * de * flat.dtype.itemsize))))
+        gperm = jnp.moveaxis(gidx.reshape(b, nc * K, -1), 1, 2)  # (b,thw,ncK)
+        acc = jnp.zeros((b, thw, de), flat.dtype)
+        for s0 in range(0, nc * K, CH):
+            part = jnp.take(flat, gperm[:, :, s0:s0 + CH].reshape(-1),
+                            axis=0)
+            acc = acc + part.reshape(b, thw, -1, de).sum(axis=2)
+        return acc.reshape(b, t, h, w, de)
     if impl == "chain":
         # per-slot gather + running add: no (b, ncK, thw, de) intermediate
         # ever materializes if XLA fuses the add chain into one loop fusion

@@ -331,7 +331,7 @@ def test_ctx_encode_custom_backward_matches_gather_vjp(rng, stride, kernel,
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4)
 
 
-@pytest.mark.parametrize("impl", ["chain", "minor", "onehot"])
+@pytest.mark.parametrize("impl", ["chain", "minor", "onehot", "chunk"])
 def test_ctx_encode_impl_variants_bit_match(rng, impl, monkeypatch):
     """Every LVT_CTX_IMPL formulation (perf knobs for the 36%-of-roofline
     ctx-table gather, NOTES_r3 tail accounting) must reproduce the default
@@ -349,8 +349,17 @@ def test_ctx_encode_impl_variants_bit_match(rng, impl, monkeypatch):
         rng.integers(-1, nv, size=(3, nc, Tp, Hp, Wp)), jnp.int32)
     want = np.asarray(C._ctx_encode_impl(ctx, table, stride))
     monkeypatch.setenv("LVT_CTX_IMPL", impl)
+    if impl == "chunk":
+        # force multiple chunks so the chunk-boundary adds are exercised
+        monkeypatch.setenv("LVT_CTX_CHUNK", "2")
     got = np.asarray(C._ctx_encode_impl(ctx, table, stride))
-    np.testing.assert_array_equal(got, want)
+    if impl == "chunk":
+        # chunk sums within each chunk BEFORE adding to the accumulator:
+        # ((a+b)+(c+d)) vs (((a+b)+c)+d) — same rows, different fp add
+        # tree, so equality holds only to the last ulp
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+    else:
+        np.testing.assert_array_equal(got, want)
 
 
 def test_take_rows_backward_matches_gather_vjp(rng):
