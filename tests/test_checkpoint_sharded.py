@@ -123,6 +123,7 @@ def test_tp_sharded_save_restore_roundtrip(tmp_path, caplog):
     assert ffn_w1.sharding.spec == P(None, "model"), ffn_w1.sharding
 
 
+@pytest.mark.slow
 def test_same_topology_resume_continues_bit_identically(tmp_path):
     """Kill-and-resume on the SAME mesh: the resumed run's losses must be
     BIT-identical to the unbroken run's, and its parameters bit-identical
@@ -172,6 +173,7 @@ def test_same_topology_resume_continues_bit_identically(tmp_path):
             err_msg=f"restore != placement at {jax.tree_util.keystr(path)}")
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("resume_mesh", [dict(data=8, model=1),
                                          dict(data=2, model=4)])
 def test_topology_change_resume_continues_equivalently(tmp_path, resume_mesh):
